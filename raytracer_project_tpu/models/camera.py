@@ -1,0 +1,129 @@
+"""Thin-lens perspective camera.
+
+TPU-native equivalent of the reference camera's viewport setup and ray
+generation (/root/reference/camera.hpp:358-402, 784-825). Instead of a
+per-pixel `get_ray(i, j)` call, `generate_rays` produces the whole
+[H*W]-ray wavefront in one fused op, jittered and defocus-sampled from
+counter-based keys.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import rng, vecmath
+from ..core.constants import degrees_to_radians
+
+
+class Camera(NamedTuple):
+    """Derived camera frame (all float32 jnp scalars/vectors; a pytree)."""
+
+    center: jax.Array        # [3] lookfrom
+    pixel00: jax.Array       # [3] center of pixel (0, 0)
+    pixel_delta_u: jax.Array  # [3] step right one pixel
+    pixel_delta_v: jax.Array  # [3] step down one pixel
+    u: jax.Array             # [3] camera right
+    v: jax.Array             # [3] camera up
+    w: jax.Array             # [3] camera backward (lookfrom - lookat)
+    defocus_disk_u: jax.Array  # [3] aperture disk basis (zero if no defocus)
+    defocus_disk_v: jax.Array  # [3]
+
+
+def make_camera(
+    *,
+    image_width: int,
+    image_height: int,
+    vfov: float = 30.0,
+    lookfrom=(0.0, 0.0, 0.0),
+    lookat=(0.0, 0.0, -1.0),
+    vup=(0.0, 1.0, 0.0),
+    defocus_angle: float = 0.0,
+    focus_dist: float = 10.0,
+) -> Camera:
+    """Build the derived camera frame (camera.hpp:358-402 semantics)."""
+    image_width = max(1, int(image_width))
+    image_height = max(1, int(image_height))
+    aspect = image_width / image_height
+
+    lookfrom = np.asarray(lookfrom, np.float32)
+    lookat = np.asarray(lookat, np.float32)
+    vup = np.asarray(vup, np.float32)
+
+    h = np.tan(degrees_to_radians(vfov) / 2.0)
+    viewport_height = 2.0 * h * focus_dist
+    viewport_width = viewport_height * aspect
+
+    def _unit(x):
+        n = np.linalg.norm(x)
+        return x / n if n > 1e-12 else np.zeros_like(x)
+
+    w = _unit(lookfrom - lookat)
+    u = _unit(np.cross(vup, w))
+    v = np.cross(w, u)
+
+    viewport_u = viewport_width * u
+    viewport_v = viewport_height * -v
+    pixel_delta_u = viewport_u / image_width
+    pixel_delta_v = viewport_v / image_height
+
+    viewport_upper_left = lookfrom - focus_dist * w - viewport_u / 2 - viewport_v / 2
+    pixel00 = viewport_upper_left + 0.5 * (pixel_delta_u + pixel_delta_v)
+
+    # Branchless defocus: zero-radius disk == pinhole (camera.hpp:790).
+    defocus_radius = focus_dist * np.tan(degrees_to_radians(max(defocus_angle, 0.0) / 2.0))
+    if defocus_angle <= 0.0:
+        defocus_radius = 0.0
+
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    return Camera(
+        center=f32(lookfrom),
+        pixel00=f32(pixel00),
+        pixel_delta_u=f32(pixel_delta_u),
+        pixel_delta_v=f32(pixel_delta_v),
+        u=f32(u),
+        v=f32(v),
+        w=f32(w),
+        defocus_disk_u=f32(u * defocus_radius),
+        defocus_disk_v=f32(v * defocus_radius),
+    )
+
+
+def generate_rays(cam: Camera, key: jax.Array, width: int, height: int):
+    """One jittered thin-lens ray per pixel (camera.hpp:784-794).
+
+    Returns (origins [H*W, 3], directions [H*W, 3]); directions are NOT
+    normalized, matching the reference (hit math handles non-unit d).
+    Pixel order is row-major: index = j * width + i.
+    """
+    jitter_key, disk_key = jax.random.split(key)
+    n = width * height
+
+    ii = jnp.tile(jnp.arange(width, dtype=jnp.float32), height)
+    jj = jnp.repeat(jnp.arange(height, dtype=jnp.float32), width)
+
+    offset = rng.square_jitter(jitter_key, (n,))
+    px = (ii + offset[:, 0])[:, None]
+    py = (jj + offset[:, 1])[:, None]
+    pixel_sample = cam.pixel00 + px * cam.pixel_delta_u + py * cam.pixel_delta_v
+
+    disk = rng.in_unit_disk(disk_key, (n,))
+    origin = (
+        cam.center
+        + disk[:, 0:1] * cam.defocus_disk_u
+        + disk[:, 1:2] * cam.defocus_disk_v
+    )
+    direction = pixel_sample - origin
+    return origin, direction
+
+
+def view_space_normal_color(cam: Camera, n):
+    """World normal -> [0,1]-mapped view-space normal color (camera.hpp:470-481)."""
+    n = vecmath.normalize(n)
+    nx = vecmath.dot(n, cam.u)
+    ny = vecmath.dot(n, cam.v)
+    nz = vecmath.dot(n, cam.w)
+    return jnp.stack([(nx + 1.0) * 0.5, (ny + 1.0) * 0.5, (nz + 1.0) * 0.5], axis=-1)

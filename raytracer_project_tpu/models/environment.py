@@ -1,0 +1,204 @@
+"""Environment lighting: solid color / HDRI equirect / procedural sun-sky.
+
+TPU-native re-expression of the reference's EnvironmentSettings
+(/root/reference/environment.hpp:8-77) and the environment shader inside the
+camera (/root/reference/camera.hpp:828-925), plus the astronomical daylight
+model from the UI layer (/root/reference/main.cpp:822-893).
+
+The mode is a *static* field of the render config so XLA compiles only the
+active shader; all continuous knobs (rotation, sun direction, intensity,
+colors — and the HDR texels themselves) are differentiable pytree leaves.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import vecmath
+from ..core.constants import PI
+
+# Environment modes (environment.hpp:9-13).
+PHYSICAL_SUN = 0
+HDR_MAP = 1
+SOLID_COLOR = 2
+
+
+class Environment(NamedTuple):
+    """Dynamic environment parameters (a pytree).
+
+    hdr_image is an equirect [H, W, 3] linear-radiance map (a 1x1 black
+    placeholder when unused — matching the fallback-to-black of
+    environment.hpp:64-68).
+    """
+
+    background_color: jax.Array  # [3] solid mode color
+    intensity: jax.Array         # [] global multiplier (environment.hpp:33)
+    hdr_image: jax.Array         # [H, W, 3]
+    hdri_rotation: jax.Array     # [] yaw, radians (environment.hpp:39)
+    hdri_tilt: jax.Array         # [] pitch, radians
+    hdri_roll: jax.Array         # [] roll, radians
+    sun_direction: jax.Array     # [3]
+    sun_color: jax.Array         # [3]
+    sun_intensity: jax.Array     # []
+    sun_size: jax.Array          # [] UI-scale 0.1..10 (camera.hpp:914)
+
+
+def make_environment(
+    *,
+    background_color=(0.5, 0.7, 1.0),
+    intensity=1.0,
+    hdr_image=None,
+    hdri_rotation=0.0,
+    hdri_tilt=0.0,
+    hdri_roll=0.0,
+    sun_direction=(0.5, 0.8, 0.3),
+    sun_color=(1.0, 0.95, 0.9),
+    sun_intensity=5.0,
+    sun_size=1.0,
+) -> Environment:
+    if hdr_image is None:
+        hdr_image = np.zeros((1, 1, 3), np.float32)  # black fallback
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    return Environment(
+        background_color=f32(background_color),
+        intensity=f32(intensity),
+        hdr_image=f32(hdr_image),
+        hdri_rotation=f32(hdri_rotation),
+        hdri_tilt=f32(hdri_tilt),
+        hdri_roll=f32(hdri_roll),
+        sun_direction=f32(sun_direction),
+        sun_color=f32(sun_color),
+        sun_intensity=f32(sun_intensity),
+        sun_size=f32(sun_size),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shaders — each maps unit directions [N, 3] -> radiance [N, 3]
+# ---------------------------------------------------------------------------
+
+def shade_solid(env: Environment, unit_dir):
+    """SOLID_COLOR mode (camera.hpp:832-834)."""
+    n = unit_dir.shape[:-1]
+    return jnp.broadcast_to(env.background_color * env.intensity, n + (3,))
+
+
+def shade_hdr(env: Environment, unit_dir):
+    """HDR_MAP mode: yaw/pitch/roll rotation + equirect nearest lookup
+    (camera.hpp:837-870)."""
+    d = unit_dir
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+
+    cy, sy = jnp.cos(env.hdri_rotation), jnp.sin(env.hdri_rotation)
+    x, z = cy * x + sy * z, -sy * x + cy * z
+
+    cp, sp = jnp.cos(env.hdri_tilt), jnp.sin(env.hdri_tilt)
+    y, z = cp * y - sp * z, sp * y + cp * z
+
+    cr, sr = jnp.cos(env.hdri_roll), jnp.sin(env.hdri_roll)
+    x, y = cr * x - sr * y, sr * x + cr * y
+
+    phi = jnp.arctan2(z, x) + PI
+    theta = jnp.arccos(jnp.clip(y, -1.0, 1.0))
+    u = phi / (2.0 * PI)
+    v = theta / PI
+
+    h, w = env.hdr_image.shape[0], env.hdr_image.shape[1]
+    # Nearest-neighbor, u-wrap + clamp (texture.hpp:56-66 semantics).
+    uu = u - jnp.floor(u)
+    i = jnp.clip((uu * w).astype(jnp.int32), 0, w - 1)
+    j = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    return env.hdr_image[j, i] * env.intensity
+
+
+def shade_sun_sky(env: Environment, unit_dir):
+    """PHYSICAL_SUN mode: day/night curves, zenith/horizon gradient, sunset
+    lerp, anti-aliased sun disc (camera.hpp:871-925)."""
+    sun_dir = vecmath.normalize(env.sun_direction)
+    sun_height = sun_dir[1]
+    adjusted = sun_height - 0.05
+
+    sky_exposure = jnp.clip(adjusted * 8.0 + 1.4, 0.0, 1.0)
+    day_factor = jnp.clip(adjusted * 10.0 + 1.1, 0.0, 1.0)
+
+    sunset_intensity = jnp.clip(1.0 - jnp.abs(adjusted + 0.05) * 30.0, 0.0, 1.0)
+    sunset = jnp.where(adjusted > -0.1, sunset_intensity, 0.0)
+    sunset = jnp.where(sun_height < 0.0, sunset * (sun_height * 10.0 + 1.0), sunset)
+    sunset = jnp.clip(sunset, 0.0, 1.0)
+
+    zenith = (jnp.asarray([0.01, 0.03, 0.1]) * (1.0 - day_factor)
+              + jnp.asarray([0.2, 0.5, 1.0]) * day_factor)
+    horizon = (jnp.asarray([0.05, 0.02, 0.01]) * (1.0 - day_factor)
+               + jnp.asarray([0.6, 0.8, 1.0]) * day_factor)
+    horizon = horizon * (1.0 - sunset) + jnp.asarray([1.0, 0.35, 0.1]) * sunset
+
+    a = unit_dir[..., 1:2]
+    sky = jnp.where(a > 0.0, (1.0 - a) * horizon + a * zenith, horizon * 0.1)
+    final = sky * (env.intensity * 1.5) * sky_exposure
+
+    sun_focus = vecmath.dot(unit_dir, sun_dir)
+    threshold = 1.0 - env.sun_size * 0.001
+    s_color = env.sun_color * (1.0 - sunset) + jnp.asarray([1.0, 0.3, 0.1]) * sunset
+    visibility = jnp.clip(sun_height * 5.0 + 1.0, 0.0, 1.0)
+    alpha = vecmath.smoothstep(threshold, threshold + 0.0002, sun_focus)
+    disc_on = (sun_focus > threshold) & (adjusted > -0.1)
+    final = final + jnp.where(
+        disc_on[..., None],
+        s_color * env.sun_intensity * visibility * alpha[..., None],
+        0.0,
+    )
+    return final
+
+
+_SHADERS = {PHYSICAL_SUN: shade_sun_sky, HDR_MAP: shade_hdr, SOLID_COLOR: shade_solid}
+
+
+def background_color(env: Environment, direction, mode: int):
+    """Radiance for rays that escape the scene (camera.hpp:828-925).
+
+    `mode` is static; `direction` need not be normalized.
+    """
+    return _SHADERS[mode](env, vecmath.normalize(direction))
+
+
+# ---------------------------------------------------------------------------
+# Astronomical daylight (main.cpp:822-893)
+# ---------------------------------------------------------------------------
+
+def solar_position(latitude_deg, day_of_year, hour):
+    """Solar (elevation, azimuth) in degrees from date/time/latitude
+    (main.cpp:830-851)."""
+    lat = jnp.deg2rad(jnp.asarray(latitude_deg, jnp.float32))
+    decl = jnp.deg2rad(
+        23.45 * jnp.sin(jnp.deg2rad(360.0 / 365.0 * (jnp.asarray(day_of_year, jnp.float32) - 81.0)))
+    )
+    hour_angle = jnp.deg2rad(15.0 * (jnp.asarray(hour, jnp.float32) - 12.0))
+    sin_elev = (jnp.sin(lat) * jnp.sin(decl)
+                + jnp.cos(lat) * jnp.cos(decl) * jnp.cos(hour_angle))
+    elev = jnp.arcsin(jnp.clip(sin_elev, -1.0, 1.0))
+    cos_az = (jnp.sin(decl) - jnp.sin(elev) * jnp.sin(lat)) / jnp.maximum(
+        jnp.cos(elev) * jnp.cos(lat), 1e-6
+    )
+    az = jnp.arccos(jnp.clip(cos_az, -1.0, 1.0))
+    az = jnp.where(hour_angle > 0.0, 2.0 * PI - az, az)
+    return jnp.rad2deg(elev), jnp.rad2deg(az)
+
+
+def sun_direction_from_time(latitude_deg, day_of_year, hour):
+    """Sun direction via the astronomical model (main.cpp:853)."""
+    elev, az = solar_position(latitude_deg, day_of_year, hour)
+    return vecmath.direction_from_spherical(elev, az)
+
+
+def auto_sun_color(elevation_deg):
+    """Altitude-keyed warm shift (Rayleigh-ish; main.cpp:855-871)."""
+    e = jnp.asarray(elevation_deg, jnp.float32)
+    t = jnp.clip(e / 60.0, 0.0, 1.0)
+    low = jnp.asarray([1.0, 0.45, 0.15])   # near horizon: warm
+    high = jnp.asarray([1.0, 0.95, 0.9])   # high sun: near white
+    color = low * (1.0 - t[..., None]) + high * t[..., None]
+    return jnp.where(e[..., None] < 0.0, jnp.asarray([0.8, 0.35, 0.25]), color)

@@ -1,0 +1,336 @@
+"""Geometry: flat SoA primitive tables + host-side scene building.
+
+TPU-native re-expression of the reference's shared_ptr polymorphic
+`hittable` graph (/root/reference/hittable.hpp:29-36, sphere.hpp, cube.hpp,
+triangle.hpp) and its transform wrappers (translate.hpp, rotate_x/y/z.hpp,
+scale.hpp, material_instance.hpp).
+
+Design decisions (TPU-first):
+ * Exactly two device-side primitive types: SPHERE and TRIANGLE. Boxes
+   (cube.hpp) compile to 12 triangles at build time, carrying the
+   reference's per-face UVs and tangent frames (cube.hpp:100-142).
+ * Transform wrappers do not exist on device: affine transforms are *baked*
+   into primitive data at build time. Triangles are closed under any affine
+   map; spheres appear only with rigid + uniform-scale transforms in the
+   reference scenes (scene_management.hpp:153-201), so center/radius baking
+   is exact.
+ * material_instance (zero-copy instancing) becomes "instantiate with a
+   different mat id" — rows are cheap, no pointers needed.
+
+Note: the reference cube returns a t=ray_t.min pseudo-hit when the ray
+origin is inside the box (cube.hpp:47-73, slab tmin clamped to ray_t.min)
+with a fallback normal; triangle-compiled boxes instead return the true
+exit intersection. This build keeps the *correct* behavior and documents
+the divergence.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Primitive type tags (used by BVH leaves; prim id = [type, row]).
+PRIM_SPHERE = 0
+PRIM_TRIANGLE = 1
+
+
+class SphereTable(NamedTuple):
+    """S spheres: world-space center/radius + material id (sphere.hpp:7-15)."""
+
+    center: jax.Array  # f32[S,3]
+    radius: jax.Array  # f32[S]
+    mat: jax.Array     # i32[S]
+
+    @property
+    def count(self) -> int:
+        return self.radius.shape[0]
+
+
+class TriangleTable(NamedTuple):
+    """T triangles with per-vertex normals/UVs and a per-face tangent frame.
+
+    v0 + e1/e2 edge form for Möller-Trumbore; n0/n1/n2 enable smooth (Phong)
+    shading (triangle.hpp:73). uv* and tangent support the cube-face texture
+    parameterization (cube.hpp:100-142); mesh triangles carry zero UVs and
+    tangents (the reference never sets them for meshes either,
+    triangle.hpp:76-79).
+    """
+
+    v0: jax.Array       # f32[T,3]
+    e1: jax.Array       # f32[T,3]  v1 - v0
+    e2: jax.Array       # f32[T,3]  v2 - v0
+    n0: jax.Array       # f32[T,3]
+    n1: jax.Array       # f32[T,3]
+    n2: jax.Array       # f32[T,3]
+    uv0: jax.Array      # f32[T,2]
+    uv1: jax.Array      # f32[T,2]
+    uv2: jax.Array      # f32[T,2]
+    tangent: jax.Array  # f32[T,3] face-constant tangent (zero = none)
+    mat: jax.Array      # i32[T]
+
+    @property
+    def count(self) -> int:
+        return self.mat.shape[0]
+
+
+# ---------------------------------------------------------------------------
+# Host-side affine transforms (numpy; baked at build time)
+# ---------------------------------------------------------------------------
+
+def translate(offset) -> np.ndarray:
+    """4x4 translation (translate.hpp semantics)."""
+    m = np.eye(4, dtype=np.float64)
+    m[:3, 3] = np.asarray(offset, np.float64)
+    return m
+
+
+def _rot(axis: int, radians: float) -> np.ndarray:
+    c, s = np.cos(radians), np.sin(radians)
+    m = np.eye(4, dtype=np.float64)
+    i, j = [(1, 2), (2, 0), (0, 1)][axis]
+    m[i, i] = c
+    m[j, j] = c
+    m[i, j] = -s
+    m[j, i] = s
+    return m
+
+
+def rotate_x(degrees: float) -> np.ndarray:
+    """rotate_x.hpp takes degrees."""
+    return _rot(0, np.deg2rad(degrees))
+
+
+def rotate_y(degrees: float) -> np.ndarray:
+    """Y rotation, degrees.
+
+    NOTE: the reference's rotate_y ctor takes *radians* (rotate_y.hpp:9-13)
+    while rotate_x/rotate_z take degrees, yet build_geometry passes degrees
+    to all three (scene_management.hpp:115-116). This build uses degrees
+    uniformly (the documented intent); `rotate_y_radians` reproduces the
+    reference's literal behavior for A/B image comparison.
+    """
+    return _rot(1, np.deg2rad(degrees))
+
+
+def rotate_y_radians(radians: float) -> np.ndarray:
+    return _rot(1, radians)
+
+
+def rotate_z(degrees: float) -> np.ndarray:
+    return _rot(2, np.deg2rad(degrees))
+
+
+def scale(factors) -> np.ndarray:
+    """4x4 scale; componentwise (scale.hpp)."""
+    f = np.asarray(factors, np.float64)
+    if f.ndim == 0:
+        f = np.full(3, float(f))
+    m = np.eye(4, dtype=np.float64)
+    m[0, 0], m[1, 1], m[2, 2] = f
+    return m
+
+
+def compose(*mats) -> np.ndarray:
+    """compose(A, B, C) applies C first, then B, then A (matrix product)."""
+    out = np.eye(4, dtype=np.float64)
+    for m in mats:
+        out = out @ m
+    return out
+
+
+def _apply_points(m: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    return pts @ m[:3, :3].T + m[:3, 3]
+
+
+def _apply_normals(m: np.ndarray, nrm: np.ndarray) -> np.ndarray:
+    """Inverse-transpose transform, renormalized (correct for any affine)."""
+    it = np.linalg.inv(m[:3, :3]).T
+    out = nrm @ it.T
+    ln = np.linalg.norm(out, axis=-1, keepdims=True)
+    return out / np.maximum(ln, 1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Host-side geometry accumulation
+# ---------------------------------------------------------------------------
+
+# Cube face table (cube.hpp:100-142): for each face, (normal, tangent,
+# uv basis). Corner UV assignment reproduces the reference's linear maps.
+_CUBE_FACES = (
+    # (axis, sign, normal, tangent)
+    (0, -1, (-1, 0, 0), (0, 0, 1)),
+    (0, +1, (1, 0, 0), (0, 0, -1)),
+    (1, -1, (0, -1, 0), (1, 0, 0)),
+    (1, +1, (0, 1, 0), (-1, 0, 0)),
+    (2, -1, (0, 0, -1), (-1, 0, 0)),
+    (2, +1, (0, 0, 1), (1, 0, 0)),
+)
+
+
+def _cube_face_uv(axis: int, sign: int, local: np.ndarray, he: np.ndarray):
+    """Reference per-face UV maps (cube.hpp:104-138); local = point - center."""
+    x, y, z = local[..., 0], local[..., 1], local[..., 2]
+    hx, hy, hz = he
+    if axis == 0:
+        u = (z + hz) / (2 * hz)
+        v = (y + hy) / (2 * hy)
+    elif axis == 1:
+        u = (x + hx) / (2 * hx)
+        v = (z + hz) / (2 * hz)
+    elif sign < 0:  # MIN_Z
+        u = (hx - x) / (2 * hx)
+        v = (y + hy) / (2 * hy)
+    else:  # MAX_Z
+        u = (x + hx) / (2 * hx)
+        v = (y + hy) / (2 * hy)
+    return np.stack([u, v], axis=-1)
+
+
+class GeometryBuilder:
+    """Accumulates primitives on host; `pack()` freezes SoA jnp tables."""
+
+    def __init__(self):
+        self._sph_center: list[np.ndarray] = []
+        self._sph_radius: list[float] = []
+        self._sph_mat: list[int] = []
+        self._tri_chunks: list[dict[str, np.ndarray]] = []
+
+    # -- spheres ------------------------------------------------------------
+
+    def add_sphere(self, center, radius, mat_id, transform=None):
+        center = np.asarray(center, np.float64)
+        radius = max(0.0, float(radius))  # sphere.hpp:9 negative-radius guard
+        if transform is not None:
+            lin = transform[:3, :3]
+            # Spheres stay spheres only under rigid + uniform scale; verify.
+            s = np.linalg.norm(lin, axis=0)
+            if not np.allclose(s, s[0], rtol=1e-5):
+                raise ValueError(
+                    "non-uniform scale on a sphere is not supported; "
+                    "the reference scenes never do this (scene_management.hpp:169-184)"
+                )
+            center = _apply_points(transform, center[None])[0]
+            radius *= float(s[0])
+        self._sph_center.append(center)
+        self._sph_radius.append(radius)
+        self._sph_mat.append(int(mat_id))
+
+    # -- triangles ----------------------------------------------------------
+
+    def add_triangles(self, v0, v1, v2, mat_id, n0=None, n1=None, n2=None,
+                      uv0=None, uv1=None, uv2=None, tangent=None,
+                      transform=None):
+        """Add a batch of triangles [T,3]-shaped arrays; normals default flat."""
+        v0 = np.atleast_2d(np.asarray(v0, np.float64))
+        v1 = np.atleast_2d(np.asarray(v1, np.float64))
+        v2 = np.atleast_2d(np.asarray(v2, np.float64))
+        t = v0.shape[0]
+
+        flat_n = np.cross(v1 - v0, v2 - v0)
+        ln = np.linalg.norm(flat_n, axis=-1, keepdims=True)
+        flat_n = flat_n / np.maximum(ln, 1e-12)
+        n0 = flat_n if n0 is None else np.atleast_2d(np.asarray(n0, np.float64))
+        n1 = flat_n if n1 is None else np.atleast_2d(np.asarray(n1, np.float64))
+        n2 = flat_n if n2 is None else np.atleast_2d(np.asarray(n2, np.float64))
+
+        zeros2 = np.zeros((t, 2))
+        uv0 = zeros2 if uv0 is None else np.atleast_2d(np.asarray(uv0, np.float64))
+        uv1 = zeros2 if uv1 is None else np.atleast_2d(np.asarray(uv1, np.float64))
+        uv2 = zeros2 if uv2 is None else np.atleast_2d(np.asarray(uv2, np.float64))
+        tangent = (np.zeros((t, 3)) if tangent is None
+                   else np.atleast_2d(np.asarray(tangent, np.float64)))
+
+        if transform is not None:
+            v0 = _apply_points(transform, v0)
+            v1 = _apply_points(transform, v1)
+            v2 = _apply_points(transform, v2)
+            n0 = _apply_normals(transform, n0)
+            n1 = _apply_normals(transform, n1)
+            n2 = _apply_normals(transform, n2)
+            tl = np.linalg.norm(tangent, axis=-1, keepdims=True)
+            tangent = np.where(
+                tl > 1e-12,
+                _apply_normals(transform, np.where(tl > 1e-12, tangent, 1.0)),
+                0.0,
+            )
+
+        mats = np.broadcast_to(np.asarray(mat_id, np.int32), (t,)).copy()
+        self._tri_chunks.append(dict(
+            v0=v0, e1=v1 - v0, e2=v2 - v0, n0=n0, n1=n1, n2=n2,
+            uv0=uv0, uv1=uv1, uv2=uv2, tangent=tangent, mat=mats,
+        ))
+
+    def add_box(self, min_corner, max_corner, mat_id, transform=None):
+        """Axis-aligned box -> 12 triangles with reference face UVs/tangents
+        (cube.hpp:11-32,100-142)."""
+        mn = np.asarray(min_corner, np.float64)
+        mx = np.asarray(max_corner, np.float64)
+        center = 0.5 * (mn + mx)
+        he = 0.5 * (mx - mn)
+
+        for axis, sign, normal, tangent in _CUBE_FACES:
+            a1, a2 = [(1, 2), (0, 2), (0, 1)][axis]
+            # Four local-space corners of this face.
+            corners = np.zeros((4, 3))
+            corners[:, axis] = sign * he[axis]
+            corners[[0, 1], a1] = -he[a1]
+            corners[[2, 3], a1] = +he[a1]
+            corners[[0, 2], a2] = -he[a2]
+            corners[[1, 3], a2] = +he[a2]
+            uv = _cube_face_uv(axis, sign, corners, he)
+            world = corners + center
+            n = np.tile(np.asarray(normal, np.float64), (2, 1))
+            tan = np.tile(np.asarray(tangent, np.float64), (2, 1))
+            # Two triangles per face: (0,1,3) and (0,3,2).
+            i0, i1, i2 = (0, 0), (1, 3), (3, 2)
+            self.add_triangles(
+                v0=world[[0, 0]], v1=world[[1, 3]], v2=world[[3, 2]],
+                n0=n, n1=n, n2=n,
+                uv0=uv[[0, 0]], uv1=uv[[1, 3]], uv2=uv[[3, 2]],
+                tangent=tan, mat_id=mat_id, transform=transform,
+            )
+
+    def add_cube(self, center, mat_id, transform=None):
+        """Unit-half-extent cube at center (cube.hpp:24-32 second ctor)."""
+        c = np.asarray(center, np.float64)
+        self.add_box(c - 1.0, c + 1.0, mat_id, transform=transform)
+
+    # -- packing ------------------------------------------------------------
+
+    def pack(self) -> tuple[SphereTable, TriangleTable]:
+        if self._sph_center:
+            sph = SphereTable(
+                center=jnp.asarray(np.stack(self._sph_center), jnp.float32),
+                radius=jnp.asarray(self._sph_radius, jnp.float32),
+                mat=jnp.asarray(self._sph_mat, jnp.int32),
+            )
+        else:
+            # Zero-radius dummy: intersection guards on radius > 0.
+            sph = SphereTable(
+                center=jnp.zeros((1, 3), jnp.float32),
+                radius=jnp.zeros((1,), jnp.float32),
+                mat=jnp.zeros((1,), jnp.int32),
+            )
+
+        if self._tri_chunks:
+            cat = {
+                k: np.concatenate([c[k] for c in self._tri_chunks])
+                for k in self._tri_chunks[0]
+            }
+        else:
+            # Degenerate dummy triangle (zero edges -> guaranteed miss).
+            cat = dict(
+                v0=np.zeros((1, 3)), e1=np.zeros((1, 3)), e2=np.zeros((1, 3)),
+                n0=np.zeros((1, 3)), n1=np.zeros((1, 3)), n2=np.zeros((1, 3)),
+                uv0=np.zeros((1, 2)), uv1=np.zeros((1, 2)), uv2=np.zeros((1, 2)),
+                tangent=np.zeros((1, 3)), mat=np.zeros((1,), np.int32),
+            )
+        tri = TriangleTable(
+            **{k: jnp.asarray(v, jnp.int32 if k == "mat" else jnp.float32)
+               for k, v in cat.items()}
+        )
+        return sph, tri

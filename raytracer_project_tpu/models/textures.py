@@ -1,0 +1,138 @@
+"""Texture system: padded image atlas + procedural checker, SoA-sampled.
+
+TPU-native re-expression of the reference's polymorphic `texture` classes
+(/root/reference/texture.hpp). Virtual `value(u, v, p)` dispatch becomes a
+branchless gather from a fixed-shape atlas selected by integer texture id,
+so any number of textures is one fused lookup on device.
+
+Sampling semantics match texture.hpp:50-78: nearest-neighbor, u wraps
+(u - floor(u)), v is clamped, rows are top-to-bottom. A failed image load is
+the solid-cyan sentinel (texture.hpp:52-54). The 3-D checker matches
+texture.hpp:118-126.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Texture kinds.
+KIND_IMAGE = 0
+KIND_CHECKER = 1
+KIND_MISSING = 2  # failed load -> cyan sentinel
+
+_CYAN = jnp.asarray([0.0, 1.0, 1.0], jnp.float32)
+
+
+class TextureBank(NamedTuple):
+    """All scene textures packed into one padded atlas (a pytree).
+
+    K = number of textures, (AH, AW) = atlas pad size.
+      data            f32[K, AH, AW, 3]  image texels (linear RGB)
+      size            i32[K, 2]          actual (width, height)
+      kind            i32[K]             KIND_* tag
+      checker_inv_scale f32[K]
+      checker_even    f32[K, 3]
+      checker_odd     f32[K, 3]
+    """
+
+    data: jax.Array
+    size: jax.Array
+    kind: jax.Array
+    checker_inv_scale: jax.Array
+    checker_even: jax.Array
+    checker_odd: jax.Array
+
+    @property
+    def count(self) -> int:
+        return self.kind.shape[0]
+
+
+def sample(bank: TextureBank, tex_id, u, v, p, default):
+    """Branchless batched texture lookup.
+
+    tex_id i32[N]; u, v f32[N]; p f32[N,3]; default f32[N,3] returned where
+    tex_id < 0 (the solid-albedo path). Returns f32[N,3].
+    """
+    tid = jnp.maximum(tex_id, 0)
+    kind = bank.kind[tid]
+    w = bank.size[tid, 0]
+    h = bank.size[tid, 1]
+
+    # Image path (texture.hpp:56-75): wrap u, scale, clamp to edge.
+    uu = u - jnp.floor(u)
+    i = jnp.clip((uu * w).astype(jnp.int32), 0, jnp.maximum(w - 1, 0))
+    j = jnp.clip((v * h).astype(jnp.int32), 0, jnp.maximum(h - 1, 0))
+    image_color = bank.data[tid, j, i]
+
+    # Checker path (texture.hpp:118-126): parity of floored world coords.
+    inv_scale = bank.checker_inv_scale[tid][..., None]
+    cells = jnp.floor(inv_scale * p).astype(jnp.int32)
+    is_even = (cells[..., 0] + cells[..., 1] + cells[..., 2]) % 2 == 0
+    checker_color = jnp.where(
+        is_even[..., None], bank.checker_even[tid], bank.checker_odd[tid]
+    )
+
+    kind_b = kind[..., None]
+    color = jnp.where(kind_b == KIND_IMAGE, image_color, checker_color)
+    color = jnp.where(kind_b == KIND_MISSING, _CYAN, color)
+    return jnp.where(tex_id[..., None] < 0, default, color)
+
+
+class TextureBankBuilder:
+    """Host-side accumulation of textures; `pack()` pads into the atlas."""
+
+    def __init__(self):
+        self._images: list[np.ndarray | None] = []
+        self._kinds: list[int] = []
+        self._checker: list[tuple[float, tuple, tuple]] = []
+
+    def _push(self, kind, image=None, checker=(1.0, (0, 0, 0), (0, 0, 0))) -> int:
+        tid = len(self._kinds)
+        self._kinds.append(kind)
+        self._images.append(image)
+        self._checker.append(checker)
+        return tid
+
+    def add_image(self, pixels: np.ndarray) -> int:
+        """pixels: float [H, W, 3] linear RGB, row 0 = top."""
+        arr = np.asarray(pixels, np.float32)
+        if arr.ndim != 3 or arr.shape[-1] != 3:
+            raise ValueError(f"expected [H,W,3] image, got {arr.shape}")
+        return self._push(KIND_IMAGE, image=arr)
+
+    def add_checker(self, scale: float, even, odd) -> int:
+        return self._push(KIND_CHECKER,
+                          checker=(1.0 / scale, tuple(even), tuple(odd)))
+
+    def add_missing(self) -> int:
+        """Failed-load sentinel slot -> cyan (texture.hpp:52-54)."""
+        return self._push(KIND_MISSING)
+
+    def pack(self) -> TextureBank:
+        kinds = self._kinds or [KIND_MISSING]
+        images = self._images or [None]
+        checker = self._checker or [(1.0, (0, 0, 0), (0, 0, 0))]
+
+        ah = max([1] + [im.shape[0] for im in images if im is not None])
+        aw = max([1] + [im.shape[1] for im in images if im is not None])
+        k = len(kinds)
+        data = np.zeros((k, ah, aw, 3), np.float32)
+        size = np.ones((k, 2), np.int32)
+        for t, im in enumerate(images):
+            if im is not None:
+                h, w = im.shape[:2]
+                data[t, :h, :w] = im
+                size[t] = (w, h)
+
+        return TextureBank(
+            data=jnp.asarray(data),
+            size=jnp.asarray(size),
+            kind=jnp.asarray(kinds, jnp.int32),
+            checker_inv_scale=jnp.asarray([c[0] for c in checker], jnp.float32),
+            checker_even=jnp.asarray([c[1] for c in checker], jnp.float32),
+            checker_odd=jnp.asarray([c[2] for c in checker], jnp.float32),
+        )

@@ -1,0 +1,301 @@
+"""Wavefront path-tracing integrator.
+
+TPU-native replacement for the reference's per-pixel recursive/iterative
+integrator (/root/reference/camera.hpp:430-544, 928-1004). The whole image
+is one ray wavefront: a single `lax.while_loop` advances every lane one
+bounce per iteration with masked (inactive) lanes instead of early returns.
+Russian roulette and the weak-ray cutoff are masked stochastic kills with
+the reference's exact constants.
+
+Structure mirrors the reference's sampling loop:
+  * one shared first hit per camera ray (camera.hpp:459)
+  * beauty = emitted + attenuation * continuation (ray_color_from_hit,
+    camera.hpp:989-1004)
+  * AOVs (albedo / view-space normal / z-depth) from the first hit
+    (camera.hpp:463-487)
+  * reflection/refraction split pass re-scatters the first hit and
+    classifies specular lanes (camera.hpp:490-517)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import rng, vecmath
+from ..core.constants import (
+    RR_P_MAX,
+    RR_P_MIN,
+    RR_START_BOUNCE,
+    T_MIN,
+    WEAK_RAY_EPS,
+    Z_DEPTH_MAX_DIST,
+)
+from ..models import camera as camera_mod
+from ..models import environment as env_mod
+from ..models.scene import Scene
+from . import intersect, shade
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render knobs (hashable; becomes a jit static argument).
+
+    Defaults follow the reference (camera.hpp:26-57).
+    """
+
+    width: int = 400
+    height: int = 225
+    samples_per_pixel: int = 30
+    max_depth: int = 10
+    env_mode: int = env_mod.PHYSICAL_SUN
+    use_albedo: bool = True
+    use_normal: bool = True
+    use_z_depth: bool = True
+    use_reflection: bool = False
+    use_refraction: bool = False
+    z_depth_max_dist: float = Z_DEPTH_MAX_DIST
+
+    @property
+    def aux_samples(self) -> int:
+        """AOV sample budget: clamp(spp/8, 64, 1024) re-capped at spp
+        (camera.hpp:433,535)."""
+        return min(max(self.samples_per_pixel // 8, 64), 1024)
+
+    @property
+    def n_pixels(self) -> int:
+        return self.width * self.height
+
+
+class _PathState(NamedTuple):
+    bounce: jax.Array       # i32 scalar
+    origin: jax.Array       # f32[N,3]
+    direction: jax.Array    # f32[N,3]
+    throughput: jax.Array   # f32[N,3]
+    radiance: jax.Array     # f32[N,3]
+    active: jax.Array       # bool[N]
+    key: jax.Array
+
+
+def trace(scene: Scene, env, origin, direction, key, *, max_bounces: int,
+          env_mode: int, throughput=None, radiance=None, active=None):
+    """Iterative bounce loop (camera.hpp:928-986) over a ray wavefront.
+
+    Initial throughput/radiance/active let a caller continue a path that
+    already scattered once (the ray_color_from_hit pattern).
+    Returns final radiance f32[N,3].
+    """
+    n = origin.shape[0]
+    if throughput is None:
+        throughput = jnp.ones((n, 3), jnp.float32)
+    if radiance is None:
+        radiance = jnp.zeros((n, 3), jnp.float32)
+    if active is None:
+        active = jnp.ones((n,), bool)
+
+    def cond(s: _PathState):
+        return (s.bounce < max_bounces) & jnp.any(s.active)
+
+    def body(s: _PathState):
+        k_scatter, k_rr, k_next = jax.random.split(
+            jax.random.fold_in(s.key, s.bounce), 3
+        )
+
+        hit = intersect.intersect(scene, s.origin, s.direction, T_MIN)
+        rec = intersect.make_record(scene, s.origin, s.direction, hit)
+
+        # Miss -> add environment radiance and retire the lane
+        # (camera.hpp:937-941).
+        bg = env_mod.background_color(env, s.direction, env_mode)
+        miss = s.active & ~hit.hit
+        radiance = s.radiance + jnp.where(miss[:, None], s.throughput * bg, 0.0)
+        active = s.active & hit.hit
+
+        # Hit -> emission + scatter (camera.hpp:944-973).
+        sc = shade.scatter(scene, rec, s.direction, k_scatter)
+        radiance = radiance + jnp.where(active[:, None], s.throughput * sc.emitted, 0.0)
+        throughput = jnp.where(
+            (active & sc.scattered)[:, None],
+            s.throughput * sc.attenuation,
+            s.throughput,
+        )
+        active = active & sc.scattered
+
+        # Weak-ray cutoff after bounce 10 (camera.hpp:967-970).
+        late = s.bounce > RR_START_BOUNCE
+        weak = late & (vecmath.length(throughput) < WEAK_RAY_EPS)
+        active = active & ~weak
+
+        # Russian roulette (camera.hpp:976-983).
+        p = jnp.clip(jnp.max(throughput, axis=-1), RR_P_MIN, RR_P_MAX)
+        u = rng.uniform(k_rr, (n,))
+        killed = late & (u > p)
+        active = active & ~killed
+        throughput = jnp.where(
+            (late & active)[:, None], throughput / p[:, None], throughput
+        )
+
+        origin = jnp.where(active[:, None], sc.origin, s.origin)
+        direction = jnp.where(active[:, None], sc.direction, s.direction)
+        return _PathState(
+            bounce=s.bounce + 1,
+            origin=origin,
+            direction=direction,
+            throughput=throughput,
+            radiance=radiance,
+            active=active,
+            key=k_next,
+        )
+
+    final = jax.lax.while_loop(
+        cond,
+        body,
+        _PathState(
+            bounce=jnp.asarray(0, jnp.int32),
+            origin=origin,
+            direction=direction,
+            throughput=throughput,
+            radiance=radiance,
+            active=active,
+            key=key,
+        ),
+    )
+    return final.radiance
+
+
+class SampleBuffers(NamedTuple):
+    """Per-sample contributions, all f32[N,3] (N = W*H, row-major)."""
+
+    beauty: jax.Array
+    albedo: jax.Array
+    normal: jax.Array
+    z_depth: jax.Array
+    reflection: jax.Array
+    refraction: jax.Array
+
+
+def render_sample(scene: Scene, cam: camera_mod.Camera, env, key,
+                  config: RenderConfig) -> SampleBuffers:
+    """One sample for every pixel: beauty + AOV contributions.
+
+    Follows the reference's per-sample structure (camera.hpp:454-527) with
+    the first hit computed once and shared by all passes.
+    """
+    n = config.n_pixels
+    zeros = jnp.zeros((n, 3), jnp.float32)
+    k_ray, k_first, k_path, k_spec, k_spec_path = jax.random.split(key, 5)
+
+    o, d = camera_mod.generate_rays(cam, k_ray, config.width, config.height)
+
+    first = intersect.intersect(scene, o, d, T_MIN)
+    rec = intersect.make_record(scene, o, d, first)
+    hit_mask = first.hit
+    bg = env_mod.background_color(env, d, config.env_mode)
+
+    # --- beauty: first-hit reuse (camera.hpp:989-1004) ---
+    sc = shade.scatter(scene, rec, d, k_first)
+    continue_active = hit_mask & sc.scattered
+    beauty = trace(
+        scene, env, sc.origin, sc.direction, k_path,
+        max_bounces=config.max_depth - 1, env_mode=config.env_mode,
+        throughput=sc.attenuation,
+        radiance=jnp.zeros((n, 3), jnp.float32),
+        active=continue_active,
+    )
+    beauty = jnp.where(hit_mask[:, None], sc.emitted + beauty, bg)
+
+    # --- AOVs from the first hit (camera.hpp:463-487, 518-526) ---
+    albedo = zeros
+    if config.use_albedo:
+        albedo = jnp.where(hit_mask[:, None], shade.get_albedo(scene, rec), 0.0)
+
+    normal = zeros
+    if config.use_normal:
+        normal = jnp.where(
+            hit_mask[:, None],
+            camera_mod.view_space_normal_color(cam, rec.normal),
+            jnp.asarray([0.5, 0.5, 1.0]),  # miss sentinel (camera.hpp:523)
+        )
+
+    z_depth = zeros
+    if config.use_z_depth:
+        zval = 1.0 - jnp.clip(rec.t / config.z_depth_max_dist, 0.0, 1.0)
+        z_depth = jnp.where(hit_mask[:, None], zval[:, None], 0.0) * jnp.ones((1, 3))
+
+    # --- reflection/refraction split pass (camera.hpp:490-517) ---
+    reflection = zeros
+    refraction = zeros
+    if config.use_reflection or config.use_refraction:
+        sc2 = shade.scatter(scene, rec, d, k_spec)
+        spec_active = hit_mask & sc2.scattered
+        scattered_color = trace(
+            scene, env, sc2.origin, sc2.direction, k_spec_path,
+            max_bounces=config.max_depth - 1, env_mode=config.env_mode,
+            active=spec_active,
+        )
+        # Firefly clamp: luma = 0.2126 * |color| capped at 2
+        # (camera.hpp:499-504; the reference really uses vector length).
+        luma = 0.2126 * vecmath.length(scattered_color)
+        scale = jnp.where(luma > 2.0, 2.0 / jnp.maximum(luma, 1e-12), 1.0)
+        scattered_color = scattered_color * scale[:, None]
+
+        reflected_dir = vecmath.reflect(vecmath.normalize(d), vecmath.normalize(rec.normal))
+        is_specular = vecmath.dot(vecmath.normalize(sc2.direction), reflected_dir) > 0.9
+        contrib = sc2.attenuation * scattered_color
+        if config.use_reflection:
+            reflection = jnp.where(
+                (spec_active & is_specular)[:, None], contrib, 0.0
+            )
+        if config.use_refraction:
+            entering = vecmath.dot(sc2.direction, rec.normal) < 0.0
+            refraction = jnp.where(
+                (spec_active & ~is_specular & entering)[:, None], contrib, 0.0
+            )
+
+    return SampleBuffers(
+        beauty=beauty, albedo=albedo, normal=normal, z_depth=z_depth,
+        reflection=reflection, refraction=refraction,
+    )
+
+
+def render(scene: Scene, cam: camera_mod.Camera, env, key,
+           config: RenderConfig) -> dict:
+    """Full render: `samples_per_pixel` passes accumulated on device.
+
+    Returns dict of [H, W, 3] averaged buffers (aux passes averaged over
+    their own budget — camera.hpp:529-541).
+    """
+    spp = config.samples_per_pixel
+    aux = min(config.aux_samples, spp)
+
+    def body(s, carry):
+        acc = carry
+        buf = render_sample(scene, cam, env, jax.random.fold_in(key, s), config)
+        is_aux = s < aux
+        return SampleBuffers(
+            beauty=acc.beauty + buf.beauty,
+            albedo=acc.albedo + jnp.where(is_aux, buf.albedo, 0.0),
+            normal=acc.normal + jnp.where(is_aux, buf.normal, 0.0),
+            z_depth=acc.z_depth + jnp.where(is_aux, buf.z_depth, 0.0),
+            reflection=acc.reflection + buf.reflection,
+            refraction=acc.refraction + buf.refraction,
+        )
+
+    n = config.n_pixels
+    zeros = jnp.zeros((n, 3), jnp.float32)
+    acc = jax.lax.fori_loop(
+        0, spp, body, SampleBuffers(zeros, zeros, zeros, zeros, zeros, zeros)
+    )
+
+    shape = (config.height, config.width, 3)
+    return {
+        "beauty": (acc.beauty / spp).reshape(shape),
+        "albedo": (acc.albedo / aux).reshape(shape),
+        "normal": (acc.normal / aux).reshape(shape),
+        "z_depth": (acc.z_depth / aux).reshape(shape),
+        "reflection": (acc.reflection / spp).reshape(shape),
+        "refraction": (acc.refraction / spp).reshape(shape),
+    }

@@ -1,0 +1,156 @@
+"""Branchless material evaluation over ray wavefronts.
+
+TPU-native replacement for the reference's virtual `material::scatter`
+dispatch (/root/reference/material.hpp:24,74-108,129-151,192-224,255-258).
+All material families are evaluated for every lane with shared random
+draws, then the per-lane result is selected by the material type tag —
+switch-free SIMD shading. A lane only ever *uses* one family's result, so
+sharing one unit-sphere draw across families is statistically sound.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import rng, vecmath
+from ..core.constants import RAY_EPSILON
+from ..models import materials as mat_mod
+from ..models import textures as tex_mod
+from ..models.scene import Scene
+from .intersect import HitRecord
+
+# Finite-difference step of the bump heightfield (material.hpp:40-41).
+_BUMP_DELTA = 1.0 / 1024.0
+
+
+class Scatter(NamedTuple):
+    """Result of one shading event (all [N])."""
+
+    origin: jax.Array       # f32[N,3] respawn origin (epsilon-offset)
+    direction: jax.Array    # f32[N,3] next ray direction
+    attenuation: jax.Array  # f32[N,3]
+    emitted: jax.Array      # f32[N,3] radiance emitted at this hit
+    scattered: jax.Array    # bool[N] False = path terminates here (absorb/light)
+
+
+def bumped_normal(scene: Scene, rec: HitRecord, bump_id, strength):
+    """Tangent-space heightfield bump (material.hpp:35-54): sample the bump
+    map at (u,v), (u+du,v), (u,v+dv); N' = normalize(N - f_u*T - f_v*B)."""
+    black = jnp.zeros_like(rec.p)
+    h_c = tex_mod.sample(scene.textures, bump_id, rec.u, rec.v, rec.p, black)[:, 0]
+    h_u = tex_mod.sample(scene.textures, bump_id, rec.u + _BUMP_DELTA, rec.v, rec.p, black)[:, 0]
+    h_v = tex_mod.sample(scene.textures, bump_id, rec.u, rec.v + _BUMP_DELTA, rec.p, black)[:, 0]
+    f_u = (h_u - h_c) * strength
+    f_v = (h_v - h_c) * strength
+    has_bump = bump_id >= 0
+    n = rec.normal - f_u[:, None] * rec.tangent - f_v[:, None] * rec.bitangent
+    n = vecmath.normalize(n)
+    return jnp.where(has_bump[:, None], n, rec.normal)
+
+
+def get_albedo(scene: Scene, rec: HitRecord):
+    """Denoiser/AOV albedo (material.hpp:29,99-102,154-156,226-229,266-275):
+    lambertian/metal -> texture color; dielectric -> white; emissive ->
+    emission clamped to <= 1; isotropic -> its albedo texture."""
+    m = scene.materials
+    mtype = m.mtype[rec.mat]
+    solid = m.albedo[rec.mat]
+    tex = tex_mod.sample(scene.textures, m.texture_id[rec.mat], rec.u, rec.v, rec.p, solid)
+    albedo = tex
+    albedo = jnp.where((mtype == mat_mod.DIELECTRIC)[:, None], 1.0, albedo)
+    albedo = jnp.where(
+        (mtype == mat_mod.EMISSIVE)[:, None], jnp.minimum(tex, 1.0), albedo
+    )
+    return albedo
+
+
+def scatter(scene: Scene, rec: HitRecord, in_dir, key) -> Scatter:
+    """One shading event for every lane; branchless over material types.
+
+    in_dir f32[N,3] incoming ray direction (not necessarily unit).
+    """
+    m = scene.materials
+    n = rec.mat.shape[0]
+    mtype = m.mtype[rec.mat]
+    param = m.param[rec.mat]
+    solid = m.albedo[rec.mat]
+    tex_color = tex_mod.sample(
+        scene.textures, m.texture_id[rec.mat], rec.u, rec.v, rec.p, solid
+    )
+
+    k_sphere, k_choice = jax.random.split(key)
+    sphere_draw = rng.unit_vector(k_sphere, (n,))     # shared across families
+    choice_u = rng.uniform(k_choice, (n,))            # dielectric reflect prob
+
+    working_n = bumped_normal(
+        scene, rec, m.bump_id[rec.mat], m.bump_strength[rec.mat]
+    )
+    unit_in = vecmath.normalize(in_dir)
+
+    # --- lambertian (material.hpp:74-96) ---
+    lam_dir = working_n + sphere_draw
+    lam_dir = jnp.where(vecmath.near_zero(lam_dir)[:, None], working_n, lam_dir)
+    lam_origin = rec.p + rec.normal * RAY_EPSILON
+
+    # --- metal (material.hpp:129-151) ---
+    reflected = vecmath.reflect(unit_in, working_n)
+    metal_dir = vecmath.normalize(reflected + param[:, None] * sphere_draw)
+    metal_ok = vecmath.dot(metal_dir, rec.normal) > 0.0
+    metal_origin = rec.p + rec.normal * RAY_EPSILON
+
+    # --- dielectric (material.hpp:192-224, Schlick :237-241) ---
+    ri = jnp.where(rec.front_face, 1.0 / jnp.maximum(param, 1e-6), param)
+    cos_theta = jnp.minimum(vecmath.dot(-unit_in, working_n), 1.0)
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    cannot_refract = ri * sin_theta > 1.0
+    r0 = ((1.0 - ri) / (1.0 + ri)) ** 2
+    reflect_prob = r0 + (1.0 - r0) * (1.0 - cos_theta) ** 5
+    do_reflect = cannot_refract | (reflect_prob > choice_u)
+    refracted = vecmath.refract(unit_in, working_n, ri)
+    diel_dir = jnp.where(do_reflect[:, None],
+                         vecmath.reflect(unit_in, working_n), refracted)
+    offset_out = vecmath.dot(diel_dir, rec.normal) > 0.0
+    diel_origin = rec.p + jnp.where(offset_out[:, None], RAY_EPSILON, -RAY_EPSILON) * rec.normal
+
+    # --- isotropic volume phase (constant_medium.hpp:9-22) ---
+    iso_dir = sphere_draw
+    iso_origin = rec.p
+
+    # --- select by type tag ---
+    is_lam = (mtype == mat_mod.LAMBERTIAN)[:, None]
+    is_metal = (mtype == mat_mod.METAL)[:, None]
+    is_diel = (mtype == mat_mod.DIELECTRIC)[:, None]
+    is_iso = (mtype == mat_mod.ISOTROPIC)[:, None]
+
+    direction = jnp.where(is_lam, lam_dir,
+                jnp.where(is_metal, metal_dir,
+                jnp.where(is_diel, diel_dir, iso_dir)))
+    origin = jnp.where(is_lam, lam_origin,
+             jnp.where(is_metal, metal_origin,
+             jnp.where(is_diel, diel_origin, iso_origin)))
+
+    # Attenuation: texture albedo for lambertian/metal/isotropic; solid for
+    # dielectric (material.hpp:193 — dielectric albedo is untextured).
+    attenuation = jnp.where(is_diel, solid, tex_color)
+
+    scattered = (
+        (mtype == mat_mod.LAMBERTIAN)
+        | ((mtype == mat_mod.METAL) & metal_ok)
+        | (mtype == mat_mod.DIELECTRIC)
+        | (mtype == mat_mod.ISOTROPIC)
+    )
+
+    # Emission: diffuse_light returns its (possibly textured) radiance
+    # (material.hpp:261-263); all other families emit black.
+    emitted = jnp.where((mtype == mat_mod.EMISSIVE)[:, None], tex_color, 0.0)
+
+    return Scatter(
+        origin=origin,
+        direction=direction,
+        attenuation=attenuation,
+        emitted=emitted,
+        scattered=scattered,
+    )

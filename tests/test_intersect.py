@@ -1,0 +1,149 @@
+"""Intersection unit/property tests — golden values from the quadratic and
+Möller-Trumbore closed forms (sphere.hpp:18-64, triangle.hpp:17-82)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from raytracer_project_tpu.models.geometry import PRIM_SPHERE, PRIM_TRIANGLE
+from raytracer_project_tpu.models.scene import SceneBuilder
+from raytracer_project_tpu.ops import intersect
+
+
+def _simple_scene(**kw):
+    b = SceneBuilder()
+    mat = b.materials.lambertian("m", (0.5, 0.5, 0.5))
+    for args in kw.get("spheres", []):
+        b.geometry.add_sphere(*args, mat)
+    for tri in kw.get("triangles", []):
+        b.geometry.add_triangles(*tri, mat_id=mat)
+    return b.build(with_bvh=False)
+
+
+def test_sphere_hit_golden():
+    # Unit sphere at origin, ray from z=5 looking down -z: t = 4.
+    scene = _simple_scene(spheres=[((0.0, 0.0, 0.0), 1.0)])
+    o = jnp.asarray([[0.0, 0.0, 5.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0]])
+    hit = intersect.intersect_brute(scene, o, d, 1e-3)
+    assert bool(hit.hit[0])
+    assert np.isclose(hit.t[0], 4.0, atol=1e-5)
+    assert hit.prim_type[0] == PRIM_SPHERE
+
+
+def test_sphere_inside_hit_far_root():
+    # Origin inside the sphere: nearest root is negative, far root = 1.
+    scene = _simple_scene(spheres=[((0.0, 0.0, 0.0), 1.0)])
+    o = jnp.zeros((1, 3))
+    d = jnp.asarray([[0.0, 0.0, -1.0]])
+    hit = intersect.intersect_brute(scene, o, d, 1e-3)
+    assert bool(hit.hit[0])
+    assert np.isclose(hit.t[0], 1.0, atol=1e-5)
+
+
+def test_sphere_miss():
+    scene = _simple_scene(spheres=[((0.0, 0.0, 0.0), 1.0)])
+    o = jnp.asarray([[0.0, 5.0, 5.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0]])
+    hit = intersect.intersect_brute(scene, o, d, 1e-3)
+    assert not bool(hit.hit[0])
+
+
+def test_unnormalized_direction():
+    # t scales inversely with |d| (reference never normalizes camera rays).
+    scene = _simple_scene(spheres=[((0.0, 0.0, 0.0), 1.0)])
+    o = jnp.asarray([[0.0, 0.0, 5.0]])
+    d = jnp.asarray([[0.0, 0.0, -2.0]])
+    hit = intersect.intersect_brute(scene, o, d, 1e-3)
+    assert np.isclose(hit.t[0], 2.0, atol=1e-5)
+
+
+def test_triangle_hit_and_miss():
+    tri = ([[0.0, 0.0, 0.0]], [[1.0, 0.0, 0.0]], [[0.0, 1.0, 0.0]])
+    scene = _simple_scene(triangles=[tri])
+    o = jnp.asarray([[0.2, 0.2, 3.0], [0.9, 0.9, 3.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]])
+    hit = intersect.intersect_brute(scene, o, d, 1e-3)
+    assert bool(hit.hit[0]) and np.isclose(hit.t[0], 3.0, atol=1e-5)
+    assert hit.prim_type[0] == PRIM_TRIANGLE
+    assert not bool(hit.hit[1])  # outside the hypotenuse
+
+
+def test_triangle_two_sided():
+    tri = ([[0.0, 0.0, 0.0]], [[1.0, 0.0, 0.0]], [[0.0, 1.0, 0.0]])
+    scene = _simple_scene(triangles=[tri])
+    o = jnp.asarray([[0.2, 0.2, -3.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    hit = intersect.intersect_brute(scene, o, d, 1e-3)
+    assert bool(hit.hit[0])
+
+
+def test_closest_of_many():
+    scene = _simple_scene(
+        spheres=[((0.0, 0.0, -10.0), 1.0), ((0.0, 0.0, -5.0), 1.0),
+                 ((0.0, 0.0, -20.0), 1.0)]
+    )
+    o = jnp.zeros((1, 3))
+    d = jnp.asarray([[0.0, 0.0, -1.0]])
+    hit = intersect.intersect_brute(scene, o, d, 1e-3)
+    assert np.isclose(hit.t[0], 4.0, atol=1e-5)
+    assert hit.prim_idx[0] == 1
+
+
+def test_record_sphere_normals_and_uv():
+    scene = _simple_scene(spheres=[((0.0, 0.0, 0.0), 1.0)])
+    o = jnp.asarray([[0.0, 0.0, 5.0], [0.0, 0.0, 0.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]])
+    hit = intersect.intersect_brute(scene, o, d, 1e-3)
+    rec = intersect.make_record(scene, o, d, hit)
+    # Outside hit: front face, outward normal +z.
+    assert bool(rec.front_face[0])
+    np.testing.assert_allclose(rec.normal[0], [0.0, 0.0, 1.0], atol=1e-5)
+    # Inside hit: back face, normal flipped toward the ray origin.
+    assert not bool(rec.front_face[1])
+    np.testing.assert_allclose(rec.normal[1], [0.0, 0.0, 1.0], atol=1e-5)
+    # UV at +z point: phi = atan2(-1, 0) + pi = pi/2 -> u = 0.25;
+    # theta = acos(0) -> v = 0.5 (sphere.hpp:70-79).
+    assert np.isclose(rec.u[0], 0.25, atol=1e-5)
+    assert np.isclose(rec.v[0], 0.5, atol=1e-5)
+
+
+def test_record_triangle_smooth_normal():
+    # Vertex normals tilted: interpolation at centroid = average direction.
+    tri = dict(
+        v0=[[0.0, 0.0, 0.0]], v1=[[1.0, 0.0, 0.0]], v2=[[0.0, 1.0, 0.0]],
+        n0=[[0.0, 0.0, 1.0]], n1=[[1.0, 0.0, 1.0]], n2=[[0.0, 1.0, 1.0]],
+    )
+    b = SceneBuilder()
+    mat = b.materials.lambertian("m")
+    b.geometry.add_triangles(**tri, mat_id=mat)
+    scene = b.build(with_bvh=False)
+    o = jnp.asarray([[1 / 3, 1 / 3, 3.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0]])
+    hit = intersect.intersect_brute(scene, o, d, 1e-3)
+    rec = intersect.make_record(scene, o, d, hit)
+    expected = np.asarray([1 / 3, 1 / 3, 1.0])
+    expected /= np.linalg.norm(expected)
+    np.testing.assert_allclose(rec.normal[0], expected, atol=1e-4)
+
+
+def test_box_compiles_to_world_hits():
+    b = SceneBuilder()
+    mat = b.materials.lambertian("m")
+    b.geometry.add_box((-1, -1, -1), (1, 1, 1), mat)
+    scene = b.build(with_bvh=False)
+    assert scene.triangles.count == 12
+    o = jnp.asarray([[0.0, 0.0, 5.0], [0.0, 0.0, 0.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0], [1.0, 0.0, 0.0]])
+    hit = intersect.intersect_brute(scene, o, d, 1e-3)
+    # Outside: entry face at t=4. Inside: exit face at t=1 (correct exit,
+    # unlike the reference cube's t=tmin quirk, cube.hpp:47-73).
+    assert np.isclose(hit.t[0], 4.0, atol=1e-5)
+    assert np.isclose(hit.t[1], 1.0, atol=1e-5)
+
+
+def test_degenerate_dummies_never_hit():
+    scene = _simple_scene()  # only dummy rows
+    o = jnp.zeros((4, 3))
+    d = jnp.asarray([[0.0, 0.0, -1.0]] * 4)
+    hit = intersect.intersect_brute(scene, o, d, 1e-3)
+    assert not np.any(hit.hit)

@@ -18,9 +18,59 @@ import jax
 import jax.numpy as jnp
 
 
-def pixel_sample_keys(key: jax.Array, n_pixels: int) -> jax.Array:
-    """One key per pixel for a given sample pass; shape [n_pixels, 2]."""
-    return jax.random.split(key, n_pixels)
+def per_lane_keys(base_key: jax.Array, lane_ids: jax.Array) -> jax.Array:
+    """Derive one key per lane by folding in a *global* lane id.
+
+    This is the shard-invariance keystone: a pixel's randomness depends only
+    on (base_key, pixel_id), never on batch position, so a sharded render is
+    bit-identical to a single-device render.
+    """
+    return jax.vmap(lambda i: jax.random.fold_in(base_key, i))(lane_ids)
+
+
+def fold_each(keys: jax.Array, data) -> jax.Array:
+    """fold_in applied per-lane; `data` is a scalar or [n] array."""
+    if jnp.ndim(data) == 0:
+        return jax.vmap(lambda k: jax.random.fold_in(k, data))(keys)
+    return jax.vmap(jax.random.fold_in)(keys, data)
+
+
+def split_each(keys: jax.Array, num: int) -> tuple[jax.Array, ...]:
+    """Per-lane key split: [n,2] -> num arrays of [n,2]."""
+    out = jax.vmap(lambda k: jax.random.split(k, num))(keys)
+    return tuple(out[:, i] for i in range(num))
+
+
+def uniform_each(keys: jax.Array, lo=0.0, hi=1.0) -> jax.Array:
+    """One uniform scalar per lane; [n]."""
+    return jax.vmap(
+        lambda k: jax.random.uniform(k, (), minval=lo, maxval=hi,
+                                     dtype=jnp.float32)
+    )(keys)
+
+
+def unit_vector_each(keys: jax.Array) -> jax.Array:
+    """One uniform unit sphere vector per lane; [n, 3]."""
+    g = jax.vmap(lambda k: jax.random.normal(k, (3,), dtype=jnp.float32))(keys)
+    norm = jnp.sqrt(jnp.sum(g * g, axis=-1, keepdims=True))
+    return g / jnp.maximum(norm, 1e-12)
+
+
+def in_unit_disk_each(keys: jax.Array) -> jax.Array:
+    """One uniform unit-disk point per lane; [n, 3] (z = 0)."""
+    u = jax.vmap(lambda k: jax.random.uniform(k, (2,), dtype=jnp.float32))(keys)
+    r = jnp.sqrt(u[:, 0])
+    theta = 2.0 * jnp.pi * u[:, 1]
+    return jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta),
+                      jnp.zeros_like(r)], axis=-1)
+
+
+def square_jitter_each(keys: jax.Array) -> jax.Array:
+    """One [-0.5, 0.5]^2 jitter per lane; [n, 2] (camera.hpp:817-819)."""
+    return jax.vmap(
+        lambda k: jax.random.uniform(k, (2,), minval=-0.5, maxval=0.5,
+                                     dtype=jnp.float32)
+    )(keys)
 
 
 def uniform(key, shape=(), lo=0.0, hi=1.0):

@@ -92,25 +92,29 @@ def make_camera(
     )
 
 
-def generate_rays(cam: Camera, key: jax.Array, width: int, height: int):
+def generate_rays(cam: Camera, keys: jax.Array, pixel_ids: jax.Array,
+                  width: int):
     """One jittered thin-lens ray per pixel (camera.hpp:784-794).
 
-    Returns (origins [H*W, 3], directions [H*W, 3]); directions are NOT
+    keys: per-pixel keys [n, 2] (see core.rng.per_lane_keys) — each pixel's
+    jitter/defocus randomness depends only on its own key, making ray
+    generation shard-invariant. pixel_ids: global row-major pixel indices
+    [n] (index = j * width + i).
+
+    Returns (origins [n, 3], directions [n, 3]); directions are NOT
     normalized, matching the reference (hit math handles non-unit d).
-    Pixel order is row-major: index = j * width + i.
     """
-    jitter_key, disk_key = jax.random.split(key)
-    n = width * height
+    jitter_keys, disk_keys = rng.split_each(keys, 2)
 
-    ii = jnp.tile(jnp.arange(width, dtype=jnp.float32), height)
-    jj = jnp.repeat(jnp.arange(height, dtype=jnp.float32), width)
+    ii = (pixel_ids % width).astype(jnp.float32)
+    jj = (pixel_ids // width).astype(jnp.float32)
 
-    offset = rng.square_jitter(jitter_key, (n,))
+    offset = rng.square_jitter_each(jitter_keys)
     px = (ii + offset[:, 0])[:, None]
     py = (jj + offset[:, 1])[:, None]
     pixel_sample = cam.pixel00 + px * cam.pixel_delta_u + py * cam.pixel_delta_v
 
-    disk = rng.in_unit_disk(disk_key, (n,))
+    disk = rng.in_unit_disk_each(disk_keys)
     origin = (
         cam.center
         + disk[:, 0:1] * cam.defocus_disk_u

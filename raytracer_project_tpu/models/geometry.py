@@ -302,18 +302,21 @@ class GeometryBuilder:
     # -- packing ------------------------------------------------------------
 
     def pack(self) -> tuple[SphereTable, TriangleTable]:
+        """Pack into *numpy*-backed tables; SceneBuilder.build does the
+        single host->device conversion at the end (small mixed np/jnp host
+        ops would each trigger a device compile over slow links)."""
         if self._sph_center:
             sph = SphereTable(
-                center=jnp.asarray(np.stack(self._sph_center), jnp.float32),
-                radius=jnp.asarray(self._sph_radius, jnp.float32),
-                mat=jnp.asarray(self._sph_mat, jnp.int32),
+                center=np.stack(self._sph_center).astype(np.float32),
+                radius=np.asarray(self._sph_radius, np.float32),
+                mat=np.asarray(self._sph_mat, np.int32),
             )
         else:
             # Zero-radius dummy: intersection guards on radius > 0.
             sph = SphereTable(
-                center=jnp.zeros((1, 3), jnp.float32),
-                radius=jnp.zeros((1,), jnp.float32),
-                mat=jnp.zeros((1,), jnp.int32),
+                center=np.zeros((1, 3), np.float32),
+                radius=np.zeros((1,), np.float32),
+                mat=np.zeros((1,), np.int32),
             )
 
         if self._tri_chunks:
@@ -330,7 +333,7 @@ class GeometryBuilder:
                 tangent=np.zeros((1, 3)), mat=np.zeros((1,), np.int32),
             )
         tri = TriangleTable(
-            **{k: jnp.asarray(v, jnp.int32 if k == "mat" else jnp.float32)
+            **{k: np.asarray(v, np.int32 if k == "mat" else np.float32)
                for k, v in cat.items()}
         )
         return sph, tri

@@ -144,12 +144,12 @@ class MaterialLibrary:
         """Freeze the registry into a device-ready SoA table."""
         specs = self._specs or [MaterialSpec(LAMBERTIAN, (1.0, 0.0, 1.0))]
         return MaterialTable(
-            mtype=jnp.asarray([s.mtype for s in specs], jnp.int32),
-            albedo=jnp.asarray([s.albedo for s in specs], jnp.float32),
-            param=jnp.asarray([s.param for s in specs], jnp.float32),
-            texture_id=jnp.asarray([s.texture_id for s in specs], jnp.int32),
-            bump_id=jnp.asarray([s.bump_id for s in specs], jnp.int32),
-            bump_strength=jnp.asarray([s.bump_strength for s in specs], jnp.float32),
+            mtype=np.asarray([s.mtype for s in specs], np.int32),
+            albedo=np.asarray([s.albedo for s in specs], np.float32),
+            param=np.asarray([s.param for s in specs], np.float32),
+            texture_id=np.asarray([s.texture_id for s in specs], np.int32),
+            bump_id=np.asarray([s.bump_id for s in specs], np.int32),
+            bump_strength=np.asarray([s.bump_strength for s in specs], np.float32),
         )
 
 

@@ -193,17 +193,11 @@ def showcase_scene(seed: int = 3, with_bvh: bool = True, use_fog: bool = False,
                     g.add_box((-0.2, -0.2, -0.2), (0.2, 0.2, 0.2), m.get(name),
                               transform=xform)
 
-    scene = b.build(with_bvh=with_bvh)
-
-    # 4. environmental fog (:227-234) — attached as a volume table (S3).
+    # 4. environmental fog (scene_management.hpp:227-234).
     if use_fog:
-        from ..ops import volumes
+        b.add_fog_sphere((0.0, 0.0, 0.0), 50.0, fog_density, fog_color)
 
-        scene = volumes.attach_fog_sphere(
-            scene, center=(0.0, 0.0, 0.0), radius=50.0,
-            density=fog_density, color=fog_color, builder=b,
-        )
-    return scene
+    return b.build(with_bvh=with_bvh)
 
 
 def cornell_box_scene(with_bvh: bool = True, with_fog: bool = False,
@@ -238,12 +232,6 @@ def cornell_box_scene(with_bvh: bool = True, with_fog: bool = False,
                   geometry.translate((212.5, 0.0, 147.5)),
                   geometry.rotate_y(-18.0)))
 
-    scene = b.build(with_bvh=with_bvh)
     if with_fog:
-        from ..ops import volumes
-
-        scene = volumes.attach_fog_box(
-            scene, (0, 0, 0), (s, s, s), density=fog_density,
-            color=(1.0, 1.0, 1.0), builder=b,
-        )
-    return scene
+        b.add_fog_box((0, 0, 0), (s, s, s), fog_density, (1.0, 1.0, 1.0))
+    return b.build(with_bvh=with_bvh)

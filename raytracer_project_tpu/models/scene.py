@@ -26,7 +26,8 @@ class Scene(NamedTuple):
     triangles: TriangleTable
     materials: MaterialTable
     textures: TextureBank
-    bvh: Any = None  # accel.FlatBVH once built (ops/bvh.py); None = brute force
+    bvh: Any = None      # ops.bvh.FlatBVH once built; None = brute force
+    volumes: Any = None  # ops.volumes.VolumeTable; None = no media
 
     @property
     def primitive_count(self) -> int:
@@ -47,8 +48,59 @@ class SceneBuilder:
         self.geometry = GeometryBuilder()
         self.materials = MaterialLibrary()
         self.textures = TextureBankBuilder()
+        self._volumes: list[dict] = []
 
-    def build(self, with_bvh: bool = False) -> Scene:
+    def add_fog_sphere(self, center, radius, density, color,
+                       texture_id: int = -1, name: str | None = None) -> None:
+        """Spherical constant-density medium
+        (constant_medium.hpp ctor, scene_management.hpp:228-234)."""
+        mat = self.materials.isotropic(
+            name or f"__fog_{len(self._volumes)}__", tuple(color), texture_id
+        )
+        self._volumes.append(dict(kind=0, center=tuple(center),
+                                  radius=float(radius),
+                                  box_min=(0, 0, 0), box_max=(0, 0, 0),
+                                  density=float(density), mat=mat))
+
+    def add_fog_box(self, box_min, box_max, density, color,
+                    texture_id: int = -1, name: str | None = None) -> None:
+        """Axis-aligned-box constant-density medium."""
+        mat = self.materials.isotropic(
+            name or f"__fog_{len(self._volumes)}__", tuple(color), texture_id
+        )
+        self._volumes.append(dict(kind=1, center=(0, 0, 0), radius=0.0,
+                                  box_min=tuple(box_min),
+                                  box_max=tuple(box_max),
+                                  density=float(density), mat=mat))
+
+    def _pack_volumes(self):
+        if not self._volumes:
+            return None
+        import numpy as np
+
+        from ..ops.volumes import VolumeTable
+
+        vs = self._volumes
+        return VolumeTable(
+            kind=np.asarray([v["kind"] for v in vs], np.int32),
+            center=np.asarray([v["center"] for v in vs], np.float32),
+            radius=np.asarray([v["radius"] for v in vs], np.float32),
+            box_min=np.asarray([v["box_min"] for v in vs], np.float32),
+            box_max=np.asarray([v["box_max"] for v in vs], np.float32),
+            neg_inv_density=np.asarray(
+                [-1.0 / v["density"] for v in vs], np.float32
+            ),
+            mat=np.asarray([v["mat"] for v in vs], np.int32),
+        )
+
+    def build(self, with_bvh: bool = True) -> Scene:
+        """Assemble entirely in numpy (host), then convert the whole pytree
+        to device arrays in one pass — small mixed numpy/jnp ops during
+        building would each trigger a device compile, which is ruinous over
+        remote-attached accelerators."""
+        import jax
+        import jax.numpy as jnp
+
         spheres, triangles = self.geometry.pack()
         scene = Scene(
             spheres=spheres,
@@ -56,9 +108,10 @@ class SceneBuilder:
             materials=self.materials.pack(),
             textures=self.textures.pack(),
             bvh=None,
+            volumes=self._pack_volumes(),
         )
         if with_bvh:
             from ..ops import bvh as bvh_mod
 
-            scene = scene._replace(bvh=bvh_mod.build_bvh(scene))
-        return scene
+            scene = scene._replace(bvh=bvh_mod.build_bvh(scene, as_numpy=True))
+        return jax.tree.map(jnp.asarray, scene)

@@ -129,10 +129,10 @@ class TextureBankBuilder:
                 size[t] = (w, h)
 
         return TextureBank(
-            data=jnp.asarray(data),
-            size=jnp.asarray(size),
-            kind=jnp.asarray(kinds, jnp.int32),
-            checker_inv_scale=jnp.asarray([c[0] for c in checker], jnp.float32),
-            checker_even=jnp.asarray([c[1] for c in checker], jnp.float32),
-            checker_odd=jnp.asarray([c[2] for c in checker], jnp.float32),
+            data=data,
+            size=size,
+            kind=np.asarray(kinds, np.int32),
+            checker_inv_scale=np.asarray([c[0] for c in checker], np.float32),
+            checker_even=np.asarray([c[1] for c in checker], np.float32),
+            checker_odd=np.asarray([c[2] for c in checker], np.float32),
         )

@@ -37,7 +37,7 @@ from ..core.constants import (
 from ..models import camera as camera_mod
 from ..models import environment as env_mod
 from ..models.scene import Scene
-from . import intersect, shade
+from . import intersect, shade, volumes as volumes_mod
 
 
 @dataclasses.dataclass(frozen=True)
@@ -58,6 +58,11 @@ class RenderConfig:
     use_reflection: bool = False
     use_refraction: bool = False
     z_depth_max_dist: float = Z_DEPTH_MAX_DIST
+    # Samples fused into one wavefront per device step (None = auto-sized to
+    # ~2M lanes). Bigger batches amortize the lock-step traversal's
+    # sequential node steps across more lanes — the TPU wavefront analog of
+    # the reference's per-pixel sample loop (camera.hpp:454).
+    samples_per_batch: int | None = None
 
     @property
     def aux_samples(self) -> int:
@@ -77,15 +82,17 @@ class _PathState(NamedTuple):
     throughput: jax.Array   # f32[N,3]
     radiance: jax.Array     # f32[N,3]
     active: jax.Array       # bool[N]
-    key: jax.Array
 
 
-def trace(scene: Scene, env, origin, direction, key, *, max_bounces: int,
-          env_mode: int, throughput=None, radiance=None, active=None):
+def trace(scene: Scene, env, origin, direction, lane_keys, *,
+          max_bounces: int, env_mode: int, throughput=None, radiance=None,
+          active=None):
     """Iterative bounce loop (camera.hpp:928-986) over a ray wavefront.
 
-    Initial throughput/radiance/active let a caller continue a path that
-    already scattered once (the ray_color_from_hit pattern).
+    lane_keys [N, 2]: per-lane key streams; each bounce folds the bounce
+    index into them, so path randomness depends only on (pixel key, bounce)
+    — shard-invariant. Initial throughput/radiance/active let a caller
+    continue a path that already scattered once (ray_color_from_hit).
     Returns final radiance f32[N,3].
     """
     n = origin.shape[0]
@@ -100,19 +107,24 @@ def trace(scene: Scene, env, origin, direction, key, *, max_bounces: int,
         return (s.bounce < max_bounces) & jnp.any(s.active)
 
     def body(s: _PathState):
-        k_scatter, k_rr, k_next = jax.random.split(
-            jax.random.fold_in(s.key, s.bounce), 3
-        )
+        bounce_keys = rng.fold_each(lane_keys, s.bounce)
+        k_scatter, k_rr, k_vol = rng.split_each(bounce_keys, 3)
 
         hit = intersect.intersect(scene, s.origin, s.direction, T_MIN)
         rec = intersect.make_record(scene, s.origin, s.direction, hit)
+        if scene.volumes is not None:
+            # Stochastic media interaction may preempt the surface hit
+            # (constant_medium.hpp:39-77).
+            rec = volumes_mod.apply_to_record(
+                scene.volumes, s.origin, s.direction, hit, rec, k_vol
+            )
 
         # Miss -> add environment radiance and retire the lane
         # (camera.hpp:937-941).
         bg = env_mod.background_color(env, s.direction, env_mode)
-        miss = s.active & ~hit.hit
+        miss = s.active & ~rec.hit
         radiance = s.radiance + jnp.where(miss[:, None], s.throughput * bg, 0.0)
-        active = s.active & hit.hit
+        active = s.active & rec.hit
 
         # Hit -> emission + scatter (camera.hpp:944-973).
         sc = shade.scatter(scene, rec, s.direction, k_scatter)
@@ -131,7 +143,7 @@ def trace(scene: Scene, env, origin, direction, key, *, max_bounces: int,
 
         # Russian roulette (camera.hpp:976-983).
         p = jnp.clip(jnp.max(throughput, axis=-1), RR_P_MIN, RR_P_MAX)
-        u = rng.uniform(k_rr, (n,))
+        u = rng.uniform_each(k_rr)
         killed = late & (u > p)
         active = active & ~killed
         throughput = jnp.where(
@@ -147,7 +159,6 @@ def trace(scene: Scene, env, origin, direction, key, *, max_bounces: int,
             throughput=throughput,
             radiance=radiance,
             active=active,
-            key=k_next,
         )
 
     final = jax.lax.while_loop(
@@ -160,7 +171,6 @@ def trace(scene: Scene, env, origin, direction, key, *, max_bounces: int,
             throughput=throughput,
             radiance=radiance,
             active=active,
-            key=key,
         ),
     )
     return final.radiance
@@ -178,21 +188,40 @@ class SampleBuffers(NamedTuple):
 
 
 def render_sample(scene: Scene, cam: camera_mod.Camera, env, key,
-                  config: RenderConfig) -> SampleBuffers:
-    """One sample for every pixel: beauty + AOV contributions.
+                  config: RenderConfig, pixel_ids=None,
+                  sample_ids=None) -> SampleBuffers:
+    """One wavefront of (pixel, sample) lanes: beauty + AOV contributions.
 
     Follows the reference's per-sample structure (camera.hpp:454-527) with
     the first hit computed once and shared by all passes.
-    """
-    n = config.n_pixels
-    zeros = jnp.zeros((n, 3), jnp.float32)
-    k_ray, k_first, k_path, k_spec, k_spec_path = jax.random.split(key, 5)
 
-    o, d = camera_mod.generate_rays(cam, k_ray, config.width, config.height)
+    pixel_ids (optional i32[n]): global row-major pixel indices per lane —
+    the sharding hook. sample_ids (optional i32[n]): per-lane sample index;
+    when given, the lane key is fold_in(fold_in(key, sample), pixel), which
+    is bit-identical to the unbatched path's fold_in(key, s) outer fold.
+    Randomness depends only on (key, sample, pixel), so any batching,
+    sharding, or chunking produces bit-identical contributions.
+    """
+    if pixel_ids is None:
+        pixel_ids = jnp.arange(config.n_pixels, dtype=jnp.int32)
+    n = pixel_ids.shape[0]
+    zeros = jnp.zeros((n, 3), jnp.float32)
+
+    if sample_ids is None:
+        pkeys = rng.per_lane_keys(key, pixel_ids)
+    else:
+        pkeys = jax.vmap(
+            lambda s, p: jax.random.fold_in(jax.random.fold_in(key, s), p)
+        )(sample_ids, pixel_ids)
+    k_ray, k_first, k_path, k_spec, k_spec_path, k_vol = rng.split_each(pkeys, 6)
+
+    o, d = camera_mod.generate_rays(cam, k_ray, pixel_ids, config.width)
 
     first = intersect.intersect(scene, o, d, T_MIN)
     rec = intersect.make_record(scene, o, d, first)
-    hit_mask = first.hit
+    if scene.volumes is not None:
+        rec = volumes_mod.apply_to_record(scene.volumes, o, d, first, rec, k_vol)
+    hit_mask = rec.hit
     bg = env_mod.background_color(env, d, config.env_mode)
 
     # --- beauty: first-hit reuse (camera.hpp:989-1004) ---
@@ -261,35 +290,64 @@ def render_sample(scene: Scene, cam: camera_mod.Camera, env, key,
     )
 
 
-def render(scene: Scene, cam: camera_mod.Camera, env, key,
-           config: RenderConfig) -> dict:
-    """Full render: `samples_per_pixel` passes accumulated on device.
+# Auto-sizing target for fused (pixel x sample) wavefronts.
+_TARGET_LANES = 2_000_000
 
-    Returns dict of [H, W, 3] averaged buffers (aux passes averaged over
-    their own budget — camera.hpp:529-541).
+
+def accumulate_samples(scene: Scene, cam: camera_mod.Camera, env, key,
+                       config: RenderConfig, pixel_ids,
+                       sample_offset=0) -> SampleBuffers:
+    """Sum `samples_per_pixel` sample passes for the given pixels.
+
+    Samples are fused into wavefront batches of (pixel, sample) lanes —
+    the sequential cost of the masked traversal loop is paid once per
+    *batch*, not once per sample. Returns *sums* (not averages) so
+    progressive sessions and sharded renders keep accumulating; lane keys
+    are (key, sample, pixel)-derived, so any chunking is bit-identical.
     """
     spp = config.samples_per_pixel
     aux = min(config.aux_samples, spp)
+    n = pixel_ids.shape[0]
 
-    def body(s, carry):
-        acc = carry
-        buf = render_sample(scene, cam, env, jax.random.fold_in(key, s), config)
-        is_aux = s < aux
+    batch = config.samples_per_batch or max(1, _TARGET_LANES // max(n, 1))
+    batch = min(batch, spp)
+    n_chunks = -(-spp // batch)
+
+    sample_offset = jnp.asarray(sample_offset, jnp.int32)
+    lane_pix = jnp.tile(pixel_ids, batch)
+    lane_rel = jnp.repeat(jnp.arange(batch, dtype=jnp.int32), n)
+
+    def chunk(ci, acc):
+        lane_samp = sample_offset + ci * batch + lane_rel
+        valid = lane_samp < sample_offset + spp  # tail-chunk mask
+        buf = render_sample(scene, cam, env, key, config, lane_pix, lane_samp)
+        is_aux = lane_samp < aux  # AOV budget (camera.hpp:433,464)
+
+        def reduce(x, mask):
+            return jnp.where(mask[:, None], x, 0.0).reshape(batch, n, 3).sum(0)
+
         return SampleBuffers(
-            beauty=acc.beauty + buf.beauty,
-            albedo=acc.albedo + jnp.where(is_aux, buf.albedo, 0.0),
-            normal=acc.normal + jnp.where(is_aux, buf.normal, 0.0),
-            z_depth=acc.z_depth + jnp.where(is_aux, buf.z_depth, 0.0),
-            reflection=acc.reflection + buf.reflection,
-            refraction=acc.refraction + buf.refraction,
+            beauty=acc.beauty + reduce(buf.beauty, valid),
+            albedo=acc.albedo + reduce(buf.albedo, valid & is_aux),
+            normal=acc.normal + reduce(buf.normal, valid & is_aux),
+            z_depth=acc.z_depth + reduce(buf.z_depth, valid & is_aux),
+            reflection=acc.reflection + reduce(buf.reflection, valid),
+            refraction=acc.refraction + reduce(buf.refraction, valid),
         )
 
-    n = config.n_pixels
     zeros = jnp.zeros((n, 3), jnp.float32)
-    acc = jax.lax.fori_loop(
-        0, spp, body, SampleBuffers(zeros, zeros, zeros, zeros, zeros, zeros)
-    )
+    init = SampleBuffers(zeros, zeros, zeros, zeros, zeros, zeros)
+    if n_chunks == 1:
+        return chunk(jnp.asarray(0, jnp.int32), init)
+    return jax.lax.fori_loop(0, n_chunks, chunk, init)
 
+
+def finalize_buffers(acc: SampleBuffers, config: RenderConfig,
+                     total_samples=None) -> dict:
+    """Averages per the reference's per-buffer sample budgets
+    (camera.hpp:529-541). Returns dict of [H, W, 3] images."""
+    spp = total_samples if total_samples is not None else config.samples_per_pixel
+    aux = min(config.aux_samples, spp)
     shape = (config.height, config.width, 3)
     return {
         "beauty": (acc.beauty / spp).reshape(shape),
@@ -299,3 +357,14 @@ def render(scene: Scene, cam: camera_mod.Camera, env, key,
         "reflection": (acc.reflection / spp).reshape(shape),
         "refraction": (acc.refraction / spp).reshape(shape),
     }
+
+
+def render(scene: Scene, cam: camera_mod.Camera, env, key,
+           config: RenderConfig) -> dict:
+    """Full single-device render: spp passes accumulated on device.
+
+    Returns dict of [H, W, 3] averaged buffers.
+    """
+    pixel_ids = jnp.arange(config.n_pixels, dtype=jnp.int32)
+    acc = accumulate_samples(scene, cam, env, key, config, pixel_ids)
+    return finalize_buffers(acc, config)

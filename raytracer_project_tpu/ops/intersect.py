@@ -180,9 +180,16 @@ def intersect_brute(scene: Scene, o, d, tmin, tmax=None) -> Hit:
     )
 
 
+# Below this primitive count the chunked brute-force scan beats BVH
+# traversal on TPU: the scan is pure broadcast arithmetic (VPU
+# speed-of-light, zero gathers), while the lock-step BVH walk pays ~1 ms of
+# slow TPU gather per node step. Measured crossover on v5e is O(10^4) prims.
+BVH_MIN_PRIMS = 8192
+
+
 def intersect(scene: Scene, o, d, tmin) -> Hit:
-    """Closest hit: BVH when the scene has one, else brute force."""
-    if scene.bvh is not None:
+    """Closest hit: brute scan for small scenes, threaded BVH for large."""
+    if scene.bvh is not None and scene.primitive_count >= BVH_MIN_PRIMS:
         from . import traverse
 
         return traverse.intersect_bvh(scene, o, d, tmin)

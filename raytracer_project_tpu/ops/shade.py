@@ -64,16 +64,20 @@ def get_albedo(scene: Scene, rec: HitRecord):
     albedo = jnp.where(
         (mtype == mat_mod.EMISSIVE)[:, None], jnp.minimum(tex, 1.0), albedo
     )
+    # Isotropic phase material keeps the base-class black albedo
+    # (isovolumetric doesn't override get_albedo, constant_medium.hpp:9-22).
+    albedo = jnp.where((mtype == mat_mod.ISOTROPIC)[:, None], 0.0, albedo)
     return albedo
 
 
-def scatter(scene: Scene, rec: HitRecord, in_dir, key) -> Scatter:
+def scatter(scene: Scene, rec: HitRecord, in_dir, keys) -> Scatter:
     """One shading event for every lane; branchless over material types.
 
     in_dir f32[N,3] incoming ray direction (not necessarily unit).
+    keys: per-lane keys [N, 2] — randomness depends only on the lane's own
+    key so shading is shard-invariant and replayable.
     """
     m = scene.materials
-    n = rec.mat.shape[0]
     mtype = m.mtype[rec.mat]
     param = m.param[rec.mat]
     solid = m.albedo[rec.mat]
@@ -81,9 +85,9 @@ def scatter(scene: Scene, rec: HitRecord, in_dir, key) -> Scatter:
         scene.textures, m.texture_id[rec.mat], rec.u, rec.v, rec.p, solid
     )
 
-    k_sphere, k_choice = jax.random.split(key)
-    sphere_draw = rng.unit_vector(k_sphere, (n,))     # shared across families
-    choice_u = rng.uniform(k_choice, (n,))            # dielectric reflect prob
+    k_sphere, k_choice = rng.split_each(keys, 2)
+    sphere_draw = rng.unit_vector_each(k_sphere)      # shared across families
+    choice_u = rng.uniform_each(k_choice)             # dielectric reflect prob
 
     working_n = bumped_normal(
         scene, rec, m.bump_id[rec.mat], m.bump_strength[rec.mat]

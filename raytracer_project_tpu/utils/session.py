@@ -1,0 +1,235 @@
+"""Progressive render session: accumulate, preview, cancel, checkpoint.
+
+TPU-native replacement for the reference's render-thread + dirty-flag state
+machine (/root/reference/main.cpp:1395-1645, camera.hpp:209-343):
+
+ * progressive accumulation in sample chunks (the accumulator persists
+   across steps like camera.hpp:63; `current_samples_count` is real here,
+   unlike the reference's never-used field camera.hpp:30)
+ * cooperative cancellation between chunks (the reference checks its atomic
+   flag per scanline, camera.hpp:441-443; here the jit step is the quantum)
+ * checkpoint/resume of (accumulators, sample count, RNG key, configs) —
+   the capability SURVEY §5.4 calls out as absent upstream
+ * per-pass display/export through the differentiable post chain
+   (camera.hpp:299-343 export parity)
+ * progress/ETA + actual rays/s metrics (main.cpp:1399-1424)
+
+The reference's dirty-flag trichotomy maps to:
+  should_restart  -> RenderSession.reset() (new accumulator)
+  needs_update    -> display()/export re-runs the post chain only
+  needs_ui_sync   -> plain attribute reads (no hidden engine state)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import colorspace
+from ..models import camera as cam_mod
+from ..ops import integrator, post as post_mod
+from . import applog, image_io
+
+PASS_BUFFERS = {
+    post_mod.PASS_RGB: "beauty",
+    post_mod.PASS_DENOISE: "beauty",   # denoiser applied at display time
+    post_mod.PASS_ALBEDO: "albedo",
+    post_mod.PASS_NORMALS: "normal",
+    post_mod.PASS_REFLECTIONS: "reflection",
+    post_mod.PASS_REFRACTIONS: "refraction",
+    post_mod.PASS_Z_DEPTH: "z_depth",
+}
+
+PASS_NAMES = {
+    post_mod.PASS_RGB: "rgb",
+    post_mod.PASS_DENOISE: "denoise",
+    post_mod.PASS_ALBEDO: "albedo",
+    post_mod.PASS_NORMALS: "normals",
+    post_mod.PASS_REFLECTIONS: "reflections",
+    post_mod.PASS_REFRACTIONS: "refractions",
+    post_mod.PASS_Z_DEPTH: "z_depth",
+}
+
+
+class RenderSession:
+    """Owns the progressive accumulator; all compute stays functional."""
+
+    def __init__(self, scene, camera: cam_mod.Camera,
+                 env, config: integrator.RenderConfig,
+                 post_params: post_mod.PostParams | None = None,
+                 post_config: post_mod.PostConfig | None = None,
+                 key=None, log: applog.AppLog | None = None,
+                 mesh=None, chunk_samples: int = 4):
+        self.scene = scene
+        self.camera = camera
+        self.env = env
+        self.config = config
+        self.post_params = post_params or post_mod.make_post_params()
+        self.post_config = post_config or post_mod.PostConfig()
+        self.key = key if key is not None else jax.random.PRNGKey(0)
+        self.log = log or applog.AppLog()
+        self.mesh = mesh
+        self.chunk_samples = chunk_samples
+
+        self._chunk_cfg = dataclasses.replace(config, samples_per_pixel=chunk_samples)
+        self._step_fn = jax.jit(
+            integrator.accumulate_samples,
+            static_argnames=("config",),
+        )
+        self.cancel_requested = False
+        self._start_time: float | None = None
+        self.reset()
+        self.log.render("-Zenith-TPU engine session created (%dx%d)",
+                        config.width, config.height)
+
+    # -- accumulation -------------------------------------------------------
+
+    def reset(self) -> None:
+        """Zero all buffers + sample counter (camera.hpp:209-233)."""
+        n = self.config.n_pixels
+        zeros = jnp.zeros((n, 3), jnp.float32)
+        self.acc = integrator.SampleBuffers(*([zeros] * 6))
+        self.samples_done = 0
+        self.cancel_requested = False
+        self._start_time = None
+
+    def step(self, n_samples: int | None = None) -> int:
+        """Accumulate one chunk of samples; returns samples done so far."""
+        n_samples = n_samples or self.chunk_samples
+        cfg = (self._chunk_cfg if n_samples == self.chunk_samples
+               else dataclasses.replace(self.config, samples_per_pixel=n_samples))
+        if self._start_time is None:
+            self._start_time = time.perf_counter()
+        ids = jnp.arange(self.config.n_pixels, dtype=jnp.int32)
+        t0 = time.perf_counter()
+        delta = self._step_fn(self.scene, self.camera, self.env, self.key,
+                              cfg, ids, self.samples_done)
+        self.acc = jax.tree.map(jnp.add, self.acc, delta)
+        jax.block_until_ready(self.acc)
+        dt = time.perf_counter() - t0
+        self.samples_done += n_samples
+        self.log.tick_frame()
+        self.log.debug("chunk %d samples in %.2fs (%.1f Mrays/s)",
+                       n_samples, dt,
+                       applog.rays_per_second(self.config.width,
+                                              self.config.height, n_samples,
+                                              self.config.max_depth, dt) / 1e6)
+        return self.samples_done
+
+    def render_progressive(self, total_samples: int,
+                           callback=None) -> None:
+        """Drive accumulation to `total_samples` with cancellation between
+        chunks (the reference's per-scanline flag, camera.hpp:441-443)."""
+        while self.samples_done < total_samples and not self.cancel_requested:
+            n = min(self.chunk_samples, total_samples - self.samples_done)
+            self.step(n)
+            if callback is not None:
+                callback(self)
+
+    def cancel(self) -> None:
+        """Cooperative stop; partial accumulators are preserved
+        (main.cpp:1447-1461)."""
+        self.cancel_requested = True
+        self.log.render("Render cancelled at %d samples", self.samples_done)
+
+    # -- progress / metrics (main.cpp:1399-1424) ---------------------------
+
+    def progress(self, total_samples: int) -> float:
+        return min(1.0, self.samples_done / max(total_samples, 1))
+
+    def eta_seconds(self, total_samples: int) -> float:
+        if self.samples_done == 0 or self._start_time is None:
+            return float("inf")
+        elapsed = time.perf_counter() - self._start_time
+        rate = self.samples_done / elapsed
+        return max(0.0, (total_samples - self.samples_done) / max(rate, 1e-9))
+
+    # -- display / export ---------------------------------------------------
+
+    def buffers(self) -> dict:
+        """Averaged linear buffers [H, W, 3]."""
+        total = max(self.samples_done, 1)
+        return integrator.finalize_buffers(self.acc, self.config,
+                                           total_samples=total)
+
+    def statistics(self) -> post_mod.ImageStatistics:
+        return post_mod.analyze_framebuffer(self.buffers()["beauty"])
+
+    def resolved_exposure(self):
+        """Auto-exposure result fed back into the grade
+        (main.cpp:1589-1598)."""
+        return post_mod.auto_exposure(self.post_params, self.statistics(),
+                                      self.post_config)
+
+    def display(self, current_pass: int = post_mod.PASS_RGB) -> np.ndarray:
+        """Post-processed uint8 frame for preview (main.cpp:1538-1645)."""
+        buf = self.buffers()[PASS_BUFFERS[current_pass]]
+        if current_pass == post_mod.PASS_DENOISE:
+            from ..ops import denoise as denoise_mod
+
+            b = self.buffers()
+            buf = denoise_mod.atrous_denoise(b["beauty"], b["albedo"],
+                                             b["normal"])
+        params = self.post_params._replace(exposure=self.resolved_exposure())
+        img = post_mod.update_post_processing(buf, params, self.post_config,
+                                              current_pass)
+        return np.asarray(jnp.clip(img * 255.999, 0.0, 255.0).astype(jnp.uint8))
+
+    def save_render_pass(self, current_pass: int, path: str) -> str:
+        """PNG export of one pass (camera.hpp:299-343)."""
+        image_io.save_png(path, self.display(current_pass))
+        self.log.system("Saved %s pass to %s", PASS_NAMES[current_pass], path)
+        return path
+
+    def save_all_passes(self, out_dir: str = "output") -> list[str]:
+        """Batch export of all buffers (main.cpp:1327-1355)."""
+        paths = []
+        for pass_id, name in PASS_NAMES.items():
+            if pass_id == post_mod.PASS_DENOISE:
+                continue
+            paths.append(self.save_render_pass(
+                pass_id, os.path.join(out_dir, f"render_{name}.png")
+            ))
+        return paths
+
+    # -- checkpoint / resume (SURVEY §5.4 — new capability) -----------------
+
+    def checkpoint(self, path: str) -> str:
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        np.savez_compressed(
+            path,
+            beauty=np.asarray(self.acc.beauty),
+            albedo=np.asarray(self.acc.albedo),
+            normal=np.asarray(self.acc.normal),
+            z_depth=np.asarray(self.acc.z_depth),
+            reflection=np.asarray(self.acc.reflection),
+            refraction=np.asarray(self.acc.refraction),
+            key=np.asarray(self.key),
+            samples_done=self.samples_done,
+            config=json.dumps(dataclasses.asdict(self.config)),
+        )
+        self.log.system("Checkpointed %d samples to %s", self.samples_done, path)
+        return path
+
+    def restore(self, path: str) -> None:
+        data = np.load(path, allow_pickle=False)
+        stored = json.loads(str(data["config"]))
+        current = dataclasses.asdict(self.config)
+        if stored != current:
+            raise ValueError(
+                f"checkpoint config mismatch: {stored} != {current}"
+            )
+        self.acc = integrator.SampleBuffers(
+            *[jnp.asarray(data[k]) for k in
+              ("beauty", "albedo", "normal", "z_depth", "reflection",
+               "refraction")]
+        )
+        self.key = jnp.asarray(data["key"])
+        self.samples_done = int(data["samples_done"])
+        self.log.system("Restored %d samples from %s", self.samples_done, path)

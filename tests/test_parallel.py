@@ -1,0 +1,92 @@
+"""Shard-invariance: N-device render == 1-device render, bit for bit.
+
+This is the TPU build's replacement for the reference's absent multi-node
+story (SURVEY §5.8) — the property that makes pixel sharding a pure
+implementation detail.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracer_project_tpu.models import camera as cam_mod
+from raytracer_project_tpu.models import environment as env_mod
+from raytracer_project_tpu.models.scene import SceneBuilder
+from raytracer_project_tpu.ops import integrator
+from raytracer_project_tpu.parallel import render as prender
+
+
+def _scene():
+    b = SceneBuilder()
+    ground = b.materials.lambertian("g", (0.5, 0.5, 0.5))
+    metal = b.materials.metal("m", (0.9, 0.8, 0.7), fuzz=0.2)
+    glass = b.materials.dielectric("d", 1.5)
+    light = b.materials.diffuse_light("l", (4.0, 4.0, 4.0))
+    b.geometry.add_sphere((0.0, -1000.0, 0.0), 1000.0, ground)
+    b.geometry.add_sphere((-1.2, 0.5, 0.0), 0.5, metal)
+    b.geometry.add_sphere((0.0, 0.5, 0.0), 0.5, glass)
+    b.geometry.add_box((0.8, 0.0, -0.4), (1.6, 1.2, 0.4), light)
+    return b.build(with_bvh=True)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = _scene()
+    cfg = integrator.RenderConfig(width=24, height=16, samples_per_pixel=4,
+                                  max_depth=5, env_mode=env_mod.SOLID_COLOR)
+    cam = cam_mod.make_camera(image_width=cfg.width, image_height=cfg.height,
+                              vfov=40.0, lookfrom=(0.0, 1.5, 4.0),
+                              lookat=(0.0, 0.5, 0.0), defocus_angle=0.4,
+                              focus_dist=4.0)
+    env = env_mod.make_environment(background_color=(0.7, 0.8, 1.0))
+    key = jax.random.PRNGKey(42)
+    single = integrator.render(scene, cam, env, key, cfg)
+    return scene, cfg, cam, env, key, single
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8  # conftest forces the virtual CPU mesh
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_shard_invariance(setup, n_dev):
+    scene, cfg, cam, env, key, single = setup
+    mesh = prender.make_mesh(n_dev)
+    sharded = prender.render_sharded(scene, cam, env, key, cfg, mesh)
+    for name in single:
+        # RNG streams are exactly shard-invariant; XLA may still fuse
+        # differently for different shard shapes, so allow ULP-level noise.
+        np.testing.assert_allclose(
+            np.asarray(single[name]), np.asarray(sharded[name]),
+            rtol=3e-6, atol=3e-7,
+            err_msg=f"buffer {name} diverged on {n_dev} devices",
+        )
+
+
+def test_pixel_subset_matches_full(setup):
+    """Rendering a pixel subset reproduces those pixels exactly."""
+    scene, cfg, cam, env, key, single = setup
+    ids = jnp.asarray([0, 17, 100, 383], jnp.int32)
+    acc = integrator.accumulate_samples(scene, cam, env, key, cfg, ids)
+    full_flat = np.asarray(single["beauty"]).reshape(-1, 3)
+    np.testing.assert_allclose(
+        np.asarray(acc.beauty) / cfg.samples_per_pixel,
+        full_flat[np.asarray(ids)], rtol=1e-6, atol=1e-7,
+    )
+
+
+def test_sample_chunking_matches(setup):
+    """Accumulating spp in two chunks == one run (progressive sessions)."""
+    scene, cfg, cam, env, key, single = setup
+    ids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
+    half = integrator.RenderConfig(**{**cfg.__dict__, "samples_per_pixel": 2})
+    a = integrator.accumulate_samples(scene, cam, env, key, half, ids,
+                                      sample_offset=0)
+    b = integrator.accumulate_samples(scene, cam, env, key, half, ids,
+                                      sample_offset=2)
+    total = jax.tree.map(lambda x, y: x + y, a, b)
+    np.testing.assert_allclose(
+        np.asarray(total.beauty) / 4.0,
+        np.asarray(single["beauty"]).reshape(-1, 3), rtol=1e-6, atol=1e-7,
+    )

@@ -9,6 +9,11 @@ from raytracer_project_tpu.models.scene import SceneBuilder
 from raytracer_project_tpu.ops import intersect, shade
 
 
+def _keys(key, n=1):
+    from raytracer_project_tpu.core import rng as _rng
+    return _rng.per_lane_keys(key, jnp.arange(n, dtype=jnp.int32))
+
+
 def _hit_sphere(mat_fn, o=(0.0, 0.0, 5.0), d=(0.0, 0.0, -1.0)):
     b = SceneBuilder()
     mat = mat_fn(b)
@@ -23,7 +28,7 @@ def _hit_sphere(mat_fn, o=(0.0, 0.0, 5.0), d=(0.0, 0.0, -1.0)):
 
 def test_lambertian(key):
     scene, rec, d = _hit_sphere(lambda b: b.materials.lambertian("m", (0.8, 0.1, 0.1)))
-    sc = shade.scatter(scene, rec, d, key)
+    sc = shade.scatter(scene, rec, d, _keys(key))
     assert bool(sc.scattered[0])
     np.testing.assert_allclose(sc.attenuation[0], [0.8, 0.1, 0.1], rtol=1e-6)
     np.testing.assert_allclose(sc.emitted[0], [0.0, 0.0, 0.0])
@@ -39,8 +44,7 @@ def test_lambertian_cosine_law(key):
     n = 4096
     rec_n = jax.tree.map(lambda x: jnp.repeat(x, n, axis=0), rec)
     d_n = jnp.repeat(d, n, axis=0)
-    keys = key
-    sc = shade.scatter(scene, rec_n, d_n, keys)
+    sc = shade.scatter(scene, rec_n, d_n, _keys(key, n))
     cos = np.asarray(vecmath.dot(vecmath.normalize(sc.direction), rec_n.normal))
     # E[cos theta] = 2/3 for pdf ~ cos.
     assert np.isclose(cos.mean(), 2.0 / 3.0, atol=0.02)
@@ -51,7 +55,7 @@ def test_metal_mirror(key):
         lambda b: b.materials.metal("m", (0.9, 0.9, 0.9), fuzz=0.0),
         o=(0.0, 2.0, 2.0), d=(0.0, -1.0, -1.0),
     )
-    sc = shade.scatter(scene, rec, d, key)
+    sc = shade.scatter(scene, rec, d, _keys(key))
     assert bool(sc.scattered[0])
     # Perfect mirror about the +z-ish normal at the hit point.
     unit_in = np.asarray(vecmath.normalize(d))[0]
@@ -71,14 +75,14 @@ def test_metal_absorb_below_surface():
     n = 2048
     rec_n = jax.tree.map(lambda x: jnp.repeat(x, n, axis=0), rec)
     d_n = jnp.repeat(d, n, axis=0)
-    sc = shade.scatter(scene, rec_n, d_n, jax.random.PRNGKey(3))
+    sc = shade.scatter(scene, rec_n, d_n, _keys(jax.random.PRNGKey(3), n))
     frac = float(np.asarray(sc.scattered).mean())
     assert 0.5 < frac < 1.0
 
 
 def test_dielectric_straight_through(key):
     scene, rec, d = _hit_sphere(lambda b: b.materials.dielectric("m", 1.5))
-    sc = shade.scatter(scene, rec, d, key)
+    sc = shade.scatter(scene, rec, d, _keys(key))
     assert bool(sc.scattered[0])
     dirn = np.asarray(vecmath.normalize(sc.direction))[0]
     # Normal incidence: refracts straight through or reflects straight back.
@@ -97,7 +101,7 @@ def test_dielectric_total_internal_reflection(key):
         -vecmath.normalize(d), rec.normal
     )[0] ** 2)
     assert 1.5 * sin_theta > 1.0  # geometry sanity: beyond the critical angle
-    sc = shade.scatter(scene, rec, d, key)
+    sc = shade.scatter(scene, rec, d, _keys(key))
     # TIR keeps the ray inside: positive w.r.t. the (inward, front-face
     # flipped) shading normal, i.e. negative w.r.t. the outward normal.
     assert vecmath.dot(sc.direction, rec.normal)[0] > 0
@@ -109,7 +113,7 @@ def test_emissive(key):
     scene, rec, d = _hit_sphere(
         lambda b: b.materials.diffuse_light("m", (4.0, 2.0, 1.0))
     )
-    sc = shade.scatter(scene, rec, d, key)
+    sc = shade.scatter(scene, rec, d, _keys(key))
     assert not bool(sc.scattered[0])
     np.testing.assert_allclose(sc.emitted[0], [4.0, 2.0, 1.0])
 

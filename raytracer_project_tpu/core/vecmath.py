@@ -8,10 +8,36 @@ All functions are pure and differentiable.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # Guard used by the reference's unit_vector (vec3.hpp:165-171).
 _UNIT_EPS = 1e-8
+
+
+def safe_sqrt(x):
+    """sqrt whose gradient is 0 (not NaN/inf) where x <= 0.
+
+    `sqrt(max(x, 0))` silently poisons backward passes: at x <= 0 the
+    cotangent is `inf * 0 = NaN`, and `jnp.where` on the primal does not
+    stop it. The double-where pattern keeps the primal identical and the
+    adjoint finite — required for the inverse-rendering path (SURVEY §7/S7).
+    """
+    pos = x > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
+def safe_arccos(x):
+    """arccos with value clamped to [-1, 1] and pole gradients zeroed.
+
+    d/dx arccos = -1/sqrt(1-x^2) explodes at |x| = 1 (sphere UV poles,
+    normal-incidence cosines); the fallback branch is stop-gradiented so
+    adjoints stay finite while primal values are exact.
+    """
+    inside = jnp.abs(x) < 1.0 - 1e-7
+    main = jnp.arccos(jnp.where(inside, x, 0.0))
+    fallback = jax.lax.stop_gradient(jnp.arccos(jnp.clip(x, -1.0, 1.0)))
+    return jnp.where(inside, main, fallback)
 
 
 def dot(u, v, keepdims: bool = False):
@@ -29,7 +55,7 @@ def length_squared(v, keepdims: bool = False):
 
 
 def length(v, keepdims: bool = False):
-    return jnp.sqrt(length_squared(v, keepdims=keepdims))
+    return safe_sqrt(length_squared(v, keepdims=keepdims))
 
 
 def normalize(v):
@@ -57,10 +83,11 @@ def refract(uv, n, etai_over_etat):
         etai_over_etat = etai_over_etat[..., None]
     cos_theta = jnp.minimum(dot(-uv, n, keepdims=True), 1.0)
     r_out_perp = etai_over_etat * (uv + cos_theta * n)
-    r_out_parallel = -jnp.sqrt(
-        jnp.abs(1.0 - length_squared(r_out_perp, keepdims=True))
-    ) * n
-    return r_out_perp + r_out_parallel
+    # k <= 0 is total internal reflection: callers select the reflected ray
+    # there (material.hpp:208-212), so the refracted value is unused — return
+    # the grad-safe 0 instead of the reference's sqrt(|k|) garbage value.
+    k = 1.0 - length_squared(r_out_perp, keepdims=True)
+    return r_out_perp - safe_sqrt(k) * n
 
 
 def luminance(c):

@@ -103,7 +103,7 @@ def shade_hdr(env: Environment, unit_dir):
     x, y = cr * x - sr * y, sr * x + cr * y
 
     phi = jnp.arctan2(z, x) + PI
-    theta = jnp.arccos(jnp.clip(y, -1.0, 1.0))
+    theta = vecmath.safe_arccos(y)  # grad-safe w.r.t. rotation at the poles
     u = phi / (2.0 * PI)
     v = theta / PI
 

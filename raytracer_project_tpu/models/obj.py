@@ -80,7 +80,17 @@ def parse_obj(text: str) -> Mesh:
 
 
 def load_obj(path: str) -> Mesh | None:
-    """Load an .obj file; None on failure (model.hpp:18-21 empty fallback)."""
+    """Load an .obj file; None on failure (model.hpp:18-21 empty fallback).
+
+    Uses the zenith_native C++ parser when available (the TinyObjLoader
+    role, model.hpp:13-21); parse_obj is the byte-equivalent Python oracle.
+    """
+    from .. import native
+
+    res = native.parse_obj(path)
+    if res is not None:
+        return Mesh(v0=res["v0"], v1=res["v1"], v2=res["v2"],
+                    n0=res["n0"], n1=res["n1"], n2=res["n2"])
     try:
         with open(path) as f:
             return parse_obj(f.read())

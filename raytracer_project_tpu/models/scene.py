@@ -28,6 +28,9 @@ class Scene(NamedTuple):
     textures: TextureBank
     bvh: Any = None      # ops.bvh.FlatBVH once built; None = brute force
     volumes: Any = None  # ops.volumes.VolumeTable; None = no media
+    mm: Any = None       # ops.intersect.MMTables (MXU matmul coefficients);
+                         # derived from spheres/triangles, dropped in
+                         # differentiable renders (see integrator.render)
 
     @property
     def primitive_count(self) -> int:
@@ -102,6 +105,8 @@ class SceneBuilder:
         import jax.numpy as jnp
 
         spheres, triangles = self.geometry.pack()
+        from ..ops.intersect import build_mm_tables
+
         scene = Scene(
             spheres=spheres,
             triangles=triangles,
@@ -109,6 +114,7 @@ class SceneBuilder:
             textures=self.textures.pack(),
             bvh=None,
             volumes=self._pack_volumes(),
+            mm=build_mm_tables(spheres, triangles),
         )
         if with_bvh:
             from ..ops import bvh as bvh_mod

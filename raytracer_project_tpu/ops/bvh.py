@@ -272,26 +272,44 @@ def _depth(root: _Node) -> int:
 
 
 def build_bvh(scene, leaf_size: int = DEFAULT_LEAF_SIZE, mode: str = "sah",
-              seed: int = 0, as_numpy: bool = False) -> FlatBVH:
+              seed: int = 0, as_numpy: bool = False,
+              use_native: bool | None = None) -> FlatBVH:
     """Build the scene BVH on host. mode: "sah" (default) or
     "median_random_axis" (the reference's algorithm, bvh.hpp:15-42).
 
+    The default SAH build runs in the zenith_native C++ library when the
+    toolchain is available (10-100x faster for mesh-heavy scenes); the pure
+    Python builder is the fallback and the reference-algorithm mode.
     as_numpy=True keeps host arrays (SceneBuilder converts the whole scene
     pytree in one pass); default converts to device arrays here."""
     import sys
 
     pmin, pmax, ptype, prow = primitive_bounds(scene)
-    ids = np.arange(len(ptype))
-    rng = np.random.default_rng(seed)
-    old_limit = sys.getrecursionlimit()
-    sys.setrecursionlimit(max(old_limit, 10000 + len(ids)))
-    try:
-        root = _build_tree(pmin, pmax, ids, leaf_size, mode, rng)
-    finally:
-        sys.setrecursionlimit(old_limit)
-    nodes, leaf_order = _flatten(root)
 
-    counts = [n["count"] for n in nodes]
+    native_result = None
+    if mode == "sah" and use_native is not False:
+        from .. import native as native_mod
+
+        native_result = native_mod.build_bvh(pmin, pmax, leaf_size, SAH_BINS)
+
+    if native_result is not None:
+        nodes = None
+        leaf_order = native_result["leaf_order"]
+        counts = native_result["count"].tolist()
+        n_levels = native_result["n_levels"]
+    else:
+        ids = np.arange(len(ptype))
+        rng = np.random.default_rng(seed)
+        old_limit = sys.getrecursionlimit()
+        sys.setrecursionlimit(max(old_limit, 10000 + len(ids)))
+        try:
+            root = _build_tree(pmin, pmax, ids, leaf_size, mode, rng)
+        finally:
+            sys.setrecursionlimit(old_limit)
+        nodes, leaf_order = _flatten(root)
+        counts = [n["count"] for n in nodes]
+        n_levels = _depth(root)
+
     slot_type = ptype[leaf_order]
     slot_row = prow[leaf_order]
 
@@ -315,21 +333,36 @@ def build_bvh(scene, leaf_size: int = DEFAULT_LEAF_SIZE, mode: str = "sah",
     slot_e1[~is_sph] = tri_e1[slot_row[~is_sph]]
     slot_e2[~is_sph] = tri_e2[slot_row[~is_sph]]
 
+    if native_result is not None:
+        node_min = native_result["node_min"]
+        node_max = native_result["node_max"]
+        escape = native_result["escape"]
+        first = native_result["first"]
+        count = native_result["count"]
+        level = native_result["level"]
+    else:
+        node_min = np.stack([n["mn"] for n in nodes]).astype(np.float32)
+        node_max = np.stack([n["mx"] for n in nodes]).astype(np.float32)
+        escape = np.asarray([n["escape"] for n in nodes], np.int32)
+        first = np.asarray([n["first"] for n in nodes], np.int32)
+        count = np.asarray(counts, np.int32)
+        level = np.asarray([n["level"] for n in nodes], np.int32)
+
     out = FlatBVH(
-        node_min=np.stack([n["mn"] for n in nodes]).astype(np.float32),
-        node_max=np.stack([n["mx"] for n in nodes]).astype(np.float32),
-        escape=np.asarray([n["escape"] for n in nodes], np.int32),
-        first=np.asarray([n["first"] for n in nodes], np.int32),
-        count=np.asarray(counts, np.int32),
+        node_min=node_min,
+        node_max=node_max,
+        escape=escape,
+        first=first,
+        count=count,
         prim_type=np.asarray(slot_type, np.int32),
         prim_row=np.asarray(slot_row, np.int32),
-        node_level=np.asarray([n["level"] for n in nodes], np.int32),
+        node_level=level,
         slot_center=slot_center,
         slot_radius=slot_radius,
         slot_v0=slot_v0,
         slot_e1=slot_e1,
         slot_e2=slot_e2,
-        n_levels=_depth(root),
+        n_levels=n_levels,
         leaf_size=max(1, max(counts)),
     )
     if as_numpy:

@@ -63,6 +63,12 @@ class RenderConfig:
     # sequential node steps across more lanes — the TPU wavefront analog of
     # the reference's per-pixel sample loop (camera.hpp:454).
     samples_per_batch: int | None = None
+    # Reverse-mode differentiable bounce loop: replaces the early-exit
+    # `lax.while_loop` with a bounded `fori_loop` (scan-convertible, so
+    # jax.grad works — see diff/). Slightly slower forward (no all-lanes-dead
+    # exit); requires the brute-force intersector (the BVH walk is itself a
+    # while_loop), so keep scenes below BVH_MIN_PRIMS or bvh=None.
+    differentiable: bool = False
 
     @property
     def aux_samples(self) -> int:
@@ -86,7 +92,7 @@ class _PathState(NamedTuple):
 
 def trace(scene: Scene, env, origin, direction, lane_keys, *,
           max_bounces: int, env_mode: int, throughput=None, radiance=None,
-          active=None):
+          active=None, differentiable: bool = False):
     """Iterative bounce loop (camera.hpp:928-986) over a ray wavefront.
 
     lane_keys [N, 2]: per-lane key streams; each bounce folds the bounce
@@ -161,18 +167,19 @@ def trace(scene: Scene, env, origin, direction, lane_keys, *,
             active=active,
         )
 
-    final = jax.lax.while_loop(
-        cond,
-        body,
-        _PathState(
-            bounce=jnp.asarray(0, jnp.int32),
-            origin=origin,
-            direction=direction,
-            throughput=throughput,
-            radiance=radiance,
-            active=active,
-        ),
+    init = _PathState(
+        bounce=jnp.asarray(0, jnp.int32),
+        origin=origin,
+        direction=direction,
+        throughput=throughput,
+        radiance=radiance,
+        active=active,
     )
+    if differentiable:
+        # Bounded loop (static trip count) lowers to scan: reverse-mode OK.
+        final = jax.lax.fori_loop(0, max_bounces, lambda _, s: body(s), init)
+    else:
+        final = jax.lax.while_loop(cond, body, init)
     return final.radiance
 
 
@@ -202,6 +209,11 @@ def render_sample(scene: Scene, cam: camera_mod.Camera, env, key,
     Randomness depends only on (key, sample, pixel), so any batching,
     sharding, or chunking produces bit-identical contributions.
     """
+    if config.differentiable and scene.mm is not None:
+        # The MXU coefficient tables are *derived* leaves — gradients must
+        # flow through the raw sphere/triangle tables, so use the classic
+        # candidate kernels in differentiable renders.
+        scene = scene._replace(mm=None)
     if pixel_ids is None:
         pixel_ids = jnp.arange(config.n_pixels, dtype=jnp.int32)
     n = pixel_ids.shape[0]
@@ -233,6 +245,7 @@ def render_sample(scene: Scene, cam: camera_mod.Camera, env, key,
         throughput=sc.attenuation,
         radiance=jnp.zeros((n, 3), jnp.float32),
         active=continue_active,
+        differentiable=config.differentiable,
     )
     beauty = jnp.where(hit_mask[:, None], sc.emitted + beauty, bg)
 
@@ -264,6 +277,7 @@ def render_sample(scene: Scene, cam: camera_mod.Camera, env, key,
             scene, env, sc2.origin, sc2.direction, k_spec_path,
             max_bounces=config.max_depth - 1, env_mode=config.env_mode,
             active=spec_active,
+            differentiable=config.differentiable,
         )
         # Firefly clamp: luma = 0.2126 * |color| capped at 2
         # (camera.hpp:499-504; the reference really uses vector length).
@@ -290,8 +304,11 @@ def render_sample(scene: Scene, cam: camera_mod.Camera, env, key,
     )
 
 
-# Auto-sizing target for fused (pixel x sample) wavefronts.
-_TARGET_LANES = 2_000_000
+# Auto-sizing target for fused (pixel x sample) wavefronts. Each lane's
+# brute-force scan step materializes [lanes, CHUNK]-shaped temporaries
+# (~50 B/pair at peak); 400k lanes keeps that under ~2.5 GB of HBM —
+# measured safe on v5e (1.8M lanes faults the device).
+_TARGET_LANES = 400_000
 
 
 def accumulate_samples(scene: Scene, cam: camera_mod.Camera, env, key,

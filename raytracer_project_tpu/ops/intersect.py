@@ -13,7 +13,7 @@ chunks with a running closest-hit so memory stays O(N_rays * CHUNK).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -69,7 +69,7 @@ def sphere_candidate_t(center, radius, o, d, tmin, tmax):
     h = jnp.sum(oc * d[:, None, :], axis=-1)          # [N,C]
     c = jnp.sum(oc * oc, axis=-1) - (radius * radius)[None, :]
     disc = h * h - a * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = vecmath.safe_sqrt(disc)  # grad-safe at miss lanes (disc <= 0)
     inv_a = 1.0 / a
     root0 = (h - sq) * inv_a
     root1 = (h + sq) * inv_a
@@ -105,6 +105,234 @@ def triangle_candidate_t(v0, e1, e2, o, d, tmin, tmax):
         & (t < tmax[:, None])
     )
     return jnp.where(valid, t, T_MAX)
+
+
+# ---------------------------------------------------------------------------
+# MXU (matmul) formulation of the primitive tests
+# ---------------------------------------------------------------------------
+#
+# Every quantity the sphere quadratic and Möller-Trumbore need is *bilinear*
+# in per-ray features and per-primitive constants:
+#
+#   ray features  R[n] = [d, o, o x d, o.d, |o|^2, 1]  (padded to 16)
+#   sphere        h    =  C.d - (o.d)            c = (|C|^2 - r^2) - 2 o.C + |o|^2
+#   triangle      det  = -d.n_geo                             (n_geo = e1 x e2)
+#                 u_num = (o x d).e2 - d.(e2 x v0)
+#                 v_num = -(o x d).e1 - d.(v0 x e1)
+#                 t_num =  o.n_geo - v0.n_geo
+#
+# so one [N,16] @ [16, 4C] matmul computes det/u_num/v_num/t_num (or h/c)
+# for *all* ray-prim pairs on the MXU — the systolic array does the heavy
+# lifting and the VPU epilogue shrinks to ~15 elementwise ops per pair.
+# This is the TPU-native answer to the reference's per-ray virtual hit()
+# calls: intersection as matrix multiplication.
+
+RAY_FEATURE_DIM = 16
+
+
+# Primitive-column padding granularity for the coefficient tables: the
+# Pallas kernel consumes 256-wide chunks, the XLA scan 128-wide.
+MM_PAD = 256
+
+
+class MMTables(NamedTuple):
+    """Precomputed primitive coefficient matrices for the MXU path.
+
+    Derived (host-side) from the sphere/triangle tables; NOT differentiable
+    parameters — the differentiable path (config.differentiable) uses the
+    classic candidate kernels on the raw tables instead. Layout
+    [16, G, C_pad] (feature, output, primitive): a [16, G*chunk] slice is a
+    contiguous reshape, so both the XLA scan and the Pallas kernel run ONE
+    matmul per chunk and slice output groups without lane strides. Padding
+    columns are all-zero, which decodes as always-invalid candidates
+    (det == 0 / radius-free c == 0).
+    """
+
+    sphere_coeff: Any  # f32[16, 2, Cs_pad]  outputs (h, c)
+    tri_coeff: Any     # f32[16, 4, Ct_pad]  outputs (det, u_num, v_num, t_num)
+
+
+def build_mm_tables(spheres, triangles) -> MMTables:
+    """Assemble the coefficient matrices (host-side numpy)."""
+    import numpy as np
+
+    F = RAY_FEATURE_DIM
+    cs = int(np.asarray(spheres.radius).shape[0])
+    ct = int(np.asarray(triangles.v0).shape[0])
+    cs_pad = max(-(-cs // MM_PAD) * MM_PAD, MM_PAD)
+    ct_pad = max(-(-ct // MM_PAD) * MM_PAD, MM_PAD)
+
+    sc = np.zeros((F, 2, cs_pad), np.float32)
+    if cs:
+        # f64 accumulation: |C|^2 - r^2 cancels catastrophically in f32 for
+        # large ground spheres (|C| ~ r ~ 1000, scene_management.hpp:107).
+        C = np.asarray(spheres.center, np.float64)
+        r = np.asarray(spheres.radius, np.float64)
+        # h: C.d - (o.d)
+        sc[0:3, 0, :cs] = C.T
+        sc[9, 0, :cs] = -1.0
+        # c: -2 o.C + |o|^2 + (|C|^2 - r^2)
+        sc[3:6, 1, :cs] = -2.0 * C.T
+        sc[10, 1, :cs] = 1.0
+        # Degenerate rows (r <= 0) must never hit (the classic kernel's
+        # `radius > 0` check): an overwhelming constant makes disc < 0.
+        sc[11, 1, :cs] = np.where(
+            r > 0.0, (C * C).sum(-1) - r * r, 1e30
+        )
+
+    tc = np.zeros((F, 4, ct_pad), np.float32)
+    if ct:
+        v0 = np.asarray(triangles.v0, np.float64)
+        e1 = np.asarray(triangles.e1, np.float64)
+        e2 = np.asarray(triangles.e2, np.float64)
+        n_geo = np.cross(e1, e2)
+        # det = -d.n_geo
+        tc[0:3, 0, :ct] = -n_geo.T
+        # u_num = (o x d).e2 - d.(e2 x v0)
+        tc[6:9, 1, :ct] = e2.T
+        tc[0:3, 1, :ct] = -np.cross(e2, v0).T
+        # v_num = -(o x d).e1 - d.(v0 x e1)
+        tc[6:9, 2, :ct] = -e1.T
+        tc[0:3, 2, :ct] = -np.cross(v0, e1).T
+        # t_num = o.n_geo - v0.n_geo
+        tc[3:6, 3, :ct] = n_geo.T
+        tc[11, 3, :ct] = -(v0 * n_geo).sum(-1)
+
+    return MMTables(sphere_coeff=sc, tri_coeff=tc)
+
+
+def ray_features(o, d):
+    """[N, 16] ray feature matrix for the MXU intersection matmul.
+
+    Column 12 carries |d|^2 (read directly by the epilogues; all coefficient
+    rows >= 12 are zero so it never enters the matmul).
+    """
+    n = o.shape[0]
+    m = jnp.cross(o, d)
+    od = jnp.sum(o * d, axis=-1, keepdims=True)
+    oo = jnp.sum(o * o, axis=-1, keepdims=True)
+    dd = jnp.sum(d * d, axis=-1, keepdims=True)
+    one = jnp.ones((n, 1), o.dtype)
+    pad = jnp.zeros((n, RAY_FEATURE_DIM - 13), o.dtype)
+    return jnp.concatenate([d, o, m, od, oo, one, dd, pad], axis=-1)
+
+
+def sphere_candidate_t_mm(h, c, a, tmin, tmax):
+    """Sphere epilogue: h, c f32[N, C]; a = |d|^2 [N, 1].
+
+    Same valid-root semantics as sphere_candidate_t (sphere.hpp:18-39).
+    """
+    disc = h * h - a * c
+    sq = vecmath.safe_sqrt(disc)
+    inv_a = 1.0 / a
+    root0 = (h - sq) * inv_a
+    root1 = (h + sq) * inv_a
+    ok0 = (root0 > tmin[:, None]) & (root0 < tmax[:, None])
+    ok1 = (root1 > tmin[:, None]) & (root1 < tmax[:, None])
+    root = jnp.where(ok0, root0, root1)
+    valid = (disc >= 0.0) & (ok0 | ok1)
+    return jnp.where(valid, root, T_MAX)
+
+
+def triangle_candidate_t_mm(det, u_num, v_num, t_num, tmin, tmax):
+    """Triangle epilogue on the matmul outputs, all f32[N, C].
+
+    Two-sided Möller-Trumbore, same hit set as triangle_candidate_t.
+    """
+    near_zero = jnp.abs(det) < 1e-12
+    inv_det = 1.0 / jnp.where(near_zero, 1.0, det)
+    u = u_num * inv_det
+    v = v_num * inv_det
+    t = t_num * inv_det
+    valid = (
+        ~near_zero
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > tmin[:, None])
+        & (t < tmax[:, None])
+    )
+    return jnp.where(valid, t, T_MAX)
+
+
+def _scan_chunks_mm(coeff, epilogue, n_rows, feats, tmin, best_t, best_idx):
+    """Running closest-hit over coefficient chunks: matmul + epilogue.
+
+    coeff f32[16, G, C_pad] (C_pad a multiple of CHUNK; zero padding columns
+    decode as always-invalid); G matmul outputs per primitive.
+    """
+    g = coeff.shape[1]
+    n_chunks = coeff.shape[2] // CHUNK
+    # [16, G, C_pad] -> chunks [n_chunks, 16, G * CHUNK] (output-major cols)
+    chunked = (
+        coeff.reshape(RAY_FEATURE_DIM, g, n_chunks, CHUNK)
+        .transpose(2, 0, 1, 3)
+        .reshape(n_chunks, RAY_FEATURE_DIM, g * CHUNK)
+    )
+    row_ids = jnp.arange(CHUNK)
+
+    def body(carry, chunk):
+        best_t, best_idx = carry
+        coeff_c, chunk_i = chunk
+        out = jax.lax.dot_general(
+            feats, coeff_c,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [N, G * CHUNK], contiguous CHUNK-wide group per output
+        t = epilogue(*(out[:, i * CHUNK:(i + 1) * CHUNK] for i in range(g)),
+                     tmin, best_t)
+        rows = chunk_i * CHUNK + row_ids
+        t = jnp.where((rows < n_rows)[None, :], t, T_MAX)
+        cmin = jnp.min(t, axis=1)
+        carg = jnp.argmin(t, axis=1).astype(jnp.int32)
+        better = cmin < best_t
+        best_t = jnp.where(better, cmin, best_t)
+        best_idx = jnp.where(better, chunk_i * CHUNK + carg, best_idx)
+        return (best_t, best_idx), None
+
+    (best_t, best_idx), _ = jax.lax.scan(
+        body, (best_t, best_idx),
+        (chunked, jnp.arange(n_chunks, dtype=jnp.int32)),
+    )
+    return best_t, best_idx
+
+
+def intersect_brute_mm(scene: Scene, o, d, tmin, tmax=None) -> Hit:
+    """Closest hit over all primitives via the MXU matmul formulation.
+
+    Bit-compatible hit *set* with intersect_brute (same tests, same
+    ordering); t values may differ at float32 rounding level because the
+    arithmetic is regrouped through the matmul.
+    """
+    n = o.shape[0]
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))
+    init_t = jnp.full((n,), T_MAX if tmax is None else tmax, jnp.float32)
+    init_idx = jnp.zeros((n,), jnp.int32)
+    feats = ray_features(o, d)
+    a = vecmath.length_squared(d)[:, None]
+
+    mm = scene.mm
+    s_t, s_idx = init_t, init_idx
+    if scene.spheres.count:
+        s_t, s_idx = _scan_chunks_mm(
+            mm.sphere_coeff,
+            lambda h, c, lo, hi: sphere_candidate_t_mm(h, c, a, lo, hi),
+            scene.spheres.count, feats, tmin, init_t, init_idx,
+        )
+    t_t, t_idx = s_t, s_idx
+    if scene.triangles.count:
+        t_t, t_idx = _scan_chunks_mm(
+            mm.tri_coeff,
+            triangle_candidate_t_mm,
+            scene.triangles.count, feats, tmin, s_t, s_idx,
+        )
+    tri_won = t_t < s_t
+    return Hit(
+        t=t_t,
+        prim_type=jnp.where(tri_won, PRIM_TRIANGLE, PRIM_SPHERE).astype(jnp.int32),
+        prim_idx=jnp.where(tri_won, t_idx, s_idx),
+        hit=t_t < T_MAX,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -188,11 +416,18 @@ BVH_MIN_PRIMS = 8192
 
 
 def intersect(scene: Scene, o, d, tmin) -> Hit:
-    """Closest hit: brute scan for small scenes, threaded BVH for large."""
+    """Closest hit: MXU matmul scan when coefficient tables are present,
+    classic brute scan otherwise; threaded BVH for very large scenes."""
     if scene.bvh is not None and scene.primitive_count >= BVH_MIN_PRIMS:
         from . import traverse
 
         return traverse.intersect_bvh(scene, o, d, tmin)
+    if scene.mm is not None:
+        if jax.default_backend() == "tpu" and jnp.ndim(tmin) == 0:
+            from . import pallas_intersect
+
+            return pallas_intersect.intersect_brute_pallas(scene, o, d, tmin)
+        return intersect_brute_mm(scene, o, d, tmin)
     return intersect_brute(scene, o, d, tmin)
 
 
@@ -210,7 +445,7 @@ def _sphere_record(scene: Scene, o, d, t, idx):
     normal = jnp.where(front[:, None], outward, -outward)
 
     # Spherical UV from the *outward* normal (sphere.hpp:70-79).
-    theta = jnp.arccos(jnp.clip(-outward[:, 1], -1.0, 1.0))
+    theta = vecmath.safe_arccos(-outward[:, 1])
     phi = jnp.arctan2(-outward[:, 2], outward[:, 0]) + PI
     u = phi / (2.0 * PI)
     v = theta / PI
@@ -260,10 +495,17 @@ def _triangle_record(scene: Scene, o, d, t, idx):
 
 
 def make_record(scene: Scene, o, d, hit: Hit) -> HitRecord:
-    """Gather full shading data for the closest hits (deferred shading)."""
+    """Gather full shading data for the closest hits (deferred shading).
+
+    Miss lanes carry t = T_MAX; feeding that into the position/frame math
+    overflows float32 (p ~ 1e30, |p|^2 = inf) and poisons *backward* passes
+    with NaN even though the values are masked out — so record geometry is
+    computed with t clamped to 1 on misses (outputs there are discarded).
+    """
     idx = hit.prim_idx
-    sp = _sphere_record(scene, o, d, hit.t, jnp.clip(idx, 0, scene.spheres.count - 1))
-    tp = _triangle_record(scene, o, d, hit.t, jnp.clip(idx, 0, scene.triangles.count - 1))
+    t_safe = jnp.where(hit.hit, hit.t, 1.0)
+    sp = _sphere_record(scene, o, d, t_safe, jnp.clip(idx, 0, scene.spheres.count - 1))
+    tp = _triangle_record(scene, o, d, t_safe, jnp.clip(idx, 0, scene.triangles.count - 1))
 
     is_tri = (hit.prim_type == PRIM_TRIANGLE)
     sel = lambda a, b: jnp.where(

@@ -108,7 +108,7 @@ def scatter(scene: Scene, rec: HitRecord, in_dir, keys) -> Scatter:
     # --- dielectric (material.hpp:192-224, Schlick :237-241) ---
     ri = jnp.where(rec.front_face, 1.0 / jnp.maximum(param, 1e-6), param)
     cos_theta = jnp.minimum(vecmath.dot(-unit_in, working_n), 1.0)
-    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    sin_theta = vecmath.safe_sqrt(1.0 - cos_theta * cos_theta)
     cannot_refract = ri * sin_theta > 1.0
     r0 = ((1.0 - ri) / (1.0 + ri)) ** 2
     reflect_prob = r0 + (1.0 - r0) * (1.0 - cos_theta) ** 5

@@ -17,6 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..core import vecmath
 from ..core.constants import T_MAX
 from ..models.geometry import PRIM_SPHERE
 from .intersect import Hit
@@ -45,7 +46,7 @@ def _leaf_candidates(scene, bvh, slot_ids, o, d, tmin, tmax):
     h = jnp.sum(oc * d[:, None, :], axis=-1)
     c = jnp.sum(oc * oc, axis=-1) - radius * radius
     disc = h * h - a * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = vecmath.safe_sqrt(disc)  # grad-safe at miss lanes (disc <= 0)
     inv_a = 1.0 / a
     r0 = (h - sq) * inv_a
     r1 = (h + sq) * inv_a

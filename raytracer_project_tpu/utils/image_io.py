@@ -16,7 +16,11 @@ import numpy as np
 
 
 def save_png(path: str, pixels_u8: np.ndarray) -> None:
-    """Write an 8-bit RGB PNG. pixels_u8: uint8 [H, W, 3]."""
+    """Write an 8-bit RGB PNG. pixels_u8: uint8 [H, W, 3].
+
+    Order: PIL (best compression) -> zenith_native C++ writer -> pure
+    Python. All three produce valid PNGs; only size/speed differ.
+    """
     arr = np.ascontiguousarray(np.asarray(pixels_u8, np.uint8))
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     try:
@@ -26,6 +30,10 @@ def save_png(path: str, pixels_u8: np.ndarray) -> None:
         return
     except ImportError:
         pass
+    from .. import native
+
+    if native.write_png(path, arr):
+        return
     _save_png_pure(path, arr)
 
 

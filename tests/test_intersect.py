@@ -147,3 +147,26 @@ def test_degenerate_dummies_never_hit():
     d = jnp.asarray([[0.0, 0.0, -1.0]] * 4)
     hit = intersect.intersect_brute(scene, o, d, 1e-3)
     assert not np.any(hit.hit)
+
+
+def test_mm_matches_classic_brute(rng):
+    """The MXU matmul formulation must agree with the classic candidate
+    kernels: identical hit set / winning primitive, t to f32 regrouping
+    tolerance (intersect_brute is the oracle, hittable_list.hpp:28-41)."""
+    from raytracer_project_tpu.models import presets
+
+    scene = presets.showcase_scene(with_bvh=False, with_meshes=True)
+    assert scene.mm is not None
+    n = 512
+    o = jnp.asarray(rng.normal(0, 8, (n, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(0, 1, (n, 3)), jnp.float32)
+    h1 = intersect.intersect_brute(scene, o, d, 1e-3)
+    h2 = intersect.intersect_brute_mm(scene, o, d, 1e-3)
+    np.testing.assert_array_equal(np.asarray(h1.hit), np.asarray(h2.hit))
+    m = np.asarray(h1.hit)
+    np.testing.assert_array_equal(
+        np.asarray(h1.prim_type)[m], np.asarray(h2.prim_type)[m]
+    )
+    np.testing.assert_allclose(
+        np.asarray(h1.t)[m], np.asarray(h2.t)[m], rtol=5e-3
+    )

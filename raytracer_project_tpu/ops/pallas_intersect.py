@@ -59,7 +59,11 @@ def _closest_hit_kernel(tmin_ref, feats_ref, scoeff_ref, tcoeff_ref,
             # [16, G, CHUNK] -> [16, G*CHUNK]: contiguous minor-dim merge.
             block = coeff_ref[:, :, pl.ds(ci * CHUNK_PRIMS, CHUNK_PRIMS)]
             block = block.reshape(RAY_FEATURE_DIM, g * CHUNK_PRIMS)
-            out = jnp.dot(feats, block, preferred_element_type=jnp.float32)
+            # HIGHEST: default TPU matmul precision is bf16 and flips hits
+            # (see intersect._scan_chunks_mm); f32-emulated is near-free here
+            # because the kernel is VMEM-resident.
+            out = jnp.dot(feats, block, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
             groups = [out[:, i * CHUNK_PRIMS:(i + 1) * CHUNK_PRIMS]
                       for i in range(g)]
             t = epilogue(*groups, tmin, best_t)

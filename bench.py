@@ -37,6 +37,9 @@ def main():
         width=width, height=height, samples_per_pixel=spp, max_depth=max_depth,
         env_mode=env_mod.PHYSICAL_SUN,
         use_albedo=False, use_normal=False, use_z_depth=False,
+        # Pooled-wavefront scheduling (ops/wavefront.py): ~2.6x over the
+        # lock-step wavefront on v5e (terminated lanes respawn immediately).
+        wavefront=not os.environ.get("BENCH_NO_WAVEFRONT"),
     )
     cam = cam_mod.make_camera(
         image_width=width, image_height=height, vfov=30.0,

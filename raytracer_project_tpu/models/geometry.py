@@ -301,6 +301,39 @@ class GeometryBuilder:
 
     # -- packing ------------------------------------------------------------
 
+    @staticmethod
+    def _morton_spread(x: np.ndarray) -> np.ndarray:
+        """Spread 10 bits to every 3rd bit position."""
+        x = x.astype(np.uint64) & 0x3FF
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    @classmethod
+    def morton_order(cls, points: np.ndarray) -> np.ndarray:
+        """Stable permutation sorting points along a 30-bit 3-D Morton curve.
+
+        Used to lay primitive-table rows out spatially so every MM_PAD-wide
+        coefficient chunk has a tight AABB (the Pallas intersector culls
+        whole chunks against ray-block bounds — see intersect.MMTables).
+        Host-side numpy; purely a storage-order choice — the hit set is
+        unchanged.
+        """
+        p = np.asarray(points, np.float64)
+        if p.shape[0] <= 1:
+            return np.arange(p.shape[0])
+        lo = p.min(0)
+        span = np.maximum(p.max(0) - lo, 1e-12)
+        q = np.clip((p - lo) / span * 1023.0, 0.0, 1023.0).astype(np.uint64)
+        code = (
+            (cls._morton_spread(q[:, 0]) << 2)
+            | (cls._morton_spread(q[:, 1]) << 1)
+            | cls._morton_spread(q[:, 2])
+        )
+        return np.argsort(code, kind="stable")
+
     def pack(self) -> tuple[SphereTable, TriangleTable]:
         """Pack into *numpy*-backed tables; SceneBuilder.build does the
         single host->device conversion at the end (small mixed np/jnp host
@@ -336,4 +369,12 @@ class GeometryBuilder:
             **{k: np.asarray(v, np.int32 if k == "mat" else np.float32)
                for k, v in cat.items()}
         )
+
+        # Spatial (Morton) row order -> tight per-chunk AABBs for the
+        # MXU intersector's chunk culling. Pure storage-order choice.
+        sp = self.morton_order(sph.center)
+        sph = SphereTable(*(np.ascontiguousarray(col[sp]) for col in sph))
+        centroid = tri.v0 + (tri.e1 + tri.e2) / 3.0
+        tp = self.morton_order(centroid)
+        tri = TriangleTable(*(np.ascontiguousarray(col[tp]) for col in tri))
         return sph, tri

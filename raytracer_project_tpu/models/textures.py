@@ -58,9 +58,19 @@ def sample(bank: TextureBank, tex_id, u, v, p, default):
     tex_id < 0 (the solid-albedo path). Returns f32[N,3].
     """
     tid = jnp.maximum(tex_id, 0)
-    kind = bank.kind[tid]
-    w = bank.size[tid, 0]
-    h = bank.size[tid, 1]
+    # One wide-row gather for all per-texture scalars: XLA:TPU serializes
+    # 1-column gather tables through SMEM (see ops.intersect), so the
+    # metadata is packed into a single [K, 10] f32 matrix. Sizes/kinds are
+    # tiny ints — exact in f32.
+    meta = jnp.concatenate(
+        [bank.kind.astype(jnp.float32)[:, None],
+         bank.size.astype(jnp.float32),
+         bank.checker_inv_scale[:, None],
+         bank.checker_even, bank.checker_odd], axis=1,
+    )[tid]
+    kind = meta[:, 0].astype(jnp.int32)
+    w = meta[:, 1].astype(jnp.int32)
+    h = meta[:, 2].astype(jnp.int32)
 
     # Image path (texture.hpp:56-75): wrap u, scale, clamp to edge.
     uu = u - jnp.floor(u)
@@ -69,12 +79,10 @@ def sample(bank: TextureBank, tex_id, u, v, p, default):
     image_color = bank.data[tid, j, i]
 
     # Checker path (texture.hpp:118-126): parity of floored world coords.
-    inv_scale = bank.checker_inv_scale[tid][..., None]
+    inv_scale = meta[:, 3][..., None]
     cells = jnp.floor(inv_scale * p).astype(jnp.int32)
     is_even = (cells[..., 0] + cells[..., 1] + cells[..., 2]) % 2 == 0
-    checker_color = jnp.where(
-        is_even[..., None], bank.checker_even[tid], bank.checker_odd[tid]
-    )
+    checker_color = jnp.where(is_even[..., None], meta[:, 4:7], meta[:, 7:10])
 
     kind_b = kind[..., None]
     color = jnp.where(kind_b == KIND_IMAGE, image_color, checker_color)

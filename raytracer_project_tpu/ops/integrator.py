@@ -69,6 +69,20 @@ class RenderConfig:
     # exit); requires the brute-force intersector (the BVH walk is itself a
     # while_loop), so keep scenes below BVH_MIN_PRIMS or bvh=None.
     differentiable: bool = False
+    # Pooled-wavefront scheduling (ops/wavefront.py): lanes whose path ended
+    # respawn the next (pixel, sample) immediately instead of idling until
+    # max_depth, so intersection work tracks actual path segments. Same
+    # per-sample values; per-pixel sums differ from the chunked path only in
+    # float addition order. Ignored when differentiable=True.
+    wavefront: bool = False
+    # Lane-pool size for wavefront mode (None = auto).
+    pool_lanes: int | None = None
+    # Re-partition pool lanes by direction-octant/origin-Morton each step so
+    # ray blocks stay coherent for the Pallas chunk culling. Measured net
+    # negative on v5e for the showcase scene (the permute's state rewrite
+    # costs more than the extra culling saves), so off by default; revisit
+    # for large scenes where culling dominates.
+    sort_lanes: bool = False
 
     @property
     def aux_samples(self) -> int:
@@ -322,6 +336,13 @@ def accumulate_samples(scene: Scene, cam: camera_mod.Camera, env, key,
     progressive sessions and sharded renders keep accumulating; lane keys
     are (key, sample, pixel)-derived, so any chunking is bit-identical.
     """
+    if config.wavefront and not config.differentiable:
+        from . import wavefront
+
+        return wavefront.render_pool(
+            scene, cam, env, key, config, pixel_ids, sample_offset,
+            pool_lanes=config.pool_lanes,
+        )
     spp = config.samples_per_pixel
     aux = min(config.aux_samples, spp)
     n = pixel_ids.shape[0]

@@ -146,10 +146,38 @@ class MMTables(NamedTuple):
     matmul per chunk and slice output groups without lane strides. Padding
     columns are all-zero, which decodes as always-invalid candidates
     (det == 0 / radius-free c == 0).
+
+    sphere_bounds/tri_bounds hold one conservative AABB per MM_PAD-wide
+    coefficient chunk ([min xyz, max xyz]); the Pallas kernel skips whole
+    chunks a coherent ray block cannot reach. Padding chunks carry an empty
+    (inverted) AABB, so they are culled for free. Tight chunk bounds rely on
+    SceneBuilder's Morton ordering of the primitive tables.
     """
 
-    sphere_coeff: Any  # f32[16, 2, Cs_pad]  outputs (h, c)
-    tri_coeff: Any     # f32[16, 4, Ct_pad]  outputs (det, u_num, v_num, t_num)
+    sphere_coeff: Any   # f32[16, 2, Cs_pad]  outputs (h, c)
+    tri_coeff: Any      # f32[16, 4, Ct_pad]  outputs (det, u_num, v_num, t_num)
+    sphere_bounds: Any  # f32[Cs_pad/MM_PAD, 6]  per-chunk AABB (min, max)
+    tri_bounds: Any     # f32[Ct_pad/MM_PAD, 6]
+
+
+def _chunk_bounds(pmin, pmax, n_chunks):
+    """Per-MM_PAD-chunk AABB union of primitive AABBs (host-side numpy).
+
+    pmin/pmax [C, 3]; rows may be empty (min > max) and padding chunks stay
+    inverted-infinite so the kernel's overlap test rejects them outright."""
+    import numpy as np
+
+    out = np.empty((n_chunks, 6), np.float32)
+    out[:, 0:3] = np.inf
+    out[:, 3:6] = -np.inf
+    c = pmin.shape[0]
+    for k in range(min(n_chunks, -(-c // MM_PAD))):
+        lo, hi = k * MM_PAD, min((k + 1) * MM_PAD, c)
+        sel = pmin[lo:hi, 0] <= pmax[lo:hi, 0]
+        if sel.any():
+            out[k, 0:3] = pmin[lo:hi][sel].min(0)
+            out[k, 3:6] = pmax[lo:hi][sel].max(0)
+    return out
 
 
 def build_mm_tables(spheres, triangles) -> MMTables:
@@ -198,7 +226,30 @@ def build_mm_tables(spheres, triangles) -> MMTables:
         tc[3:6, 3, :ct] = n_geo.T
         tc[11, 3, :ct] = -(v0 * n_geo).sum(-1)
 
-    return MMTables(sphere_coeff=sc, tri_coeff=tc)
+    if cs:
+        C32 = np.asarray(spheres.center, np.float32)
+        r32 = np.asarray(spheres.radius, np.float32)
+        live = (r32 > 0.0)[:, None]
+        smin = np.where(live, C32 - r32[:, None], np.inf)
+        smax = np.where(live, C32 + r32[:, None], -np.inf)
+    else:
+        smin = np.zeros((0, 3), np.float32) + np.inf
+        smax = np.zeros((0, 3), np.float32) - np.inf
+    if ct:
+        v0f = np.asarray(triangles.v0, np.float32)
+        v1f = v0f + np.asarray(triangles.e1, np.float32)
+        v2f = v0f + np.asarray(triangles.e2, np.float32)
+        tmin_ = np.minimum(np.minimum(v0f, v1f), v2f)
+        tmax_ = np.maximum(np.maximum(v0f, v1f), v2f)
+    else:
+        tmin_ = np.zeros((0, 3), np.float32) + np.inf
+        tmax_ = np.zeros((0, 3), np.float32) - np.inf
+
+    return MMTables(
+        sphere_coeff=sc, tri_coeff=tc,
+        sphere_bounds=_chunk_bounds(smin, smax, cs_pad // MM_PAD),
+        tri_bounds=_chunk_bounds(tmin_, tmax_, ct_pad // MM_PAD),
+    )
 
 
 def ray_features(o, d):
@@ -441,10 +492,38 @@ def intersect(scene: Scene, o, d, tmin) -> Hit:
 # Deferred hit-record construction
 # ---------------------------------------------------------------------------
 
+# XLA:TPU lowers 1-column table gathers through a serial SMEM copy of the
+# whole table per gather (measured: 31 ms for a 6k-row table at 262k
+# indices on v5e, ~200x the cost of the same rows from a multi-column
+# table). So each record fetch packs ALL of a primitive type's shading
+# columns into one wide f32 matrix (loop-invariant -> hoisted/cached) and
+# gathers exactly once, on the fast vector path. Integer ids are < 2^24,
+# exact through the f32 round-trip.
+
+def _sphere_packed(scene: Scene):
+    """[S, 5]: center xyz, radius, mat."""
+    s = scene.spheres
+    return jnp.concatenate(
+        [s.center, s.radius[:, None],
+         s.mat.astype(jnp.float32)[:, None]], axis=1,
+    )
+
+
+def _tri_packed(scene: Scene):
+    """[T, 28]: v0 e1 e2 n0 n1 n2 (18) uv0 uv1 uv2 (6) tangent (3) mat."""
+    t = scene.triangles
+    return jnp.concatenate(
+        [t.v0, t.e1, t.e2, t.n0, t.n1, t.n2, t.uv0, t.uv1, t.uv2,
+         t.tangent, t.mat.astype(jnp.float32)[:, None]], axis=1,
+    )
+
+
 def _sphere_record(scene: Scene, o, d, t, idx):
     """Sphere shading data (sphere.hpp:40-59)."""
-    center = scene.spheres.center[idx]
-    radius = scene.spheres.radius[idx]
+    g = _sphere_packed(scene)[idx]            # one [N, 5] gather
+    center = g[:, 0:3]
+    radius = g[:, 3]
+    mat = g[:, 4].astype(jnp.int32)
     p = o + t[:, None] * d
     outward = (p - center) / jnp.maximum(radius, 1e-12)[:, None]
     front = vecmath.dot(d, outward) < 0.0
@@ -468,14 +547,18 @@ def _sphere_record(scene: Scene, o, d, t, idx):
     )
     tangent = vecmath.normalize(tangent)
     bitangent = jnp.cross(normal, tangent)
-    return p, normal, tangent, bitangent, front, u, v, scene.spheres.mat[idx]
+    return p, normal, tangent, bitangent, front, u, v, mat
 
 
 def _triangle_record(scene: Scene, o, d, t, idx):
     """Triangle shading data: barycentric-smooth normal (triangle.hpp:56-79)
     + interpolated UVs and the face tangent frame (cube faces)."""
-    tr = scene.triangles
-    v0, e1, e2 = tr.v0[idx], tr.e1[idx], tr.e2[idx]
+    g = _tri_packed(scene)[idx]               # one [N, 28] gather
+    v0, e1, e2 = g[:, 0:3], g[:, 3:6], g[:, 6:9]
+    n0, n1, n2 = g[:, 9:12], g[:, 12:15], g[:, 15:18]
+    uv0, uv1, uv2 = g[:, 18:20], g[:, 20:22], g[:, 22:24]
+    tangent = g[:, 24:27]
+    mat = g[:, 27].astype(jnp.int32)
     p = o + t[:, None] * d
 
     geo_n = jnp.cross(e1, e2)
@@ -489,15 +572,14 @@ def _triangle_record(scene: Scene, o, d, t, idx):
     w = 1.0 - u - v
 
     smooth = vecmath.normalize(
-        w[:, None] * tr.n0[idx] + u[:, None] * tr.n1[idx] + v[:, None] * tr.n2[idx]
+        w[:, None] * n0 + u[:, None] * n1 + v[:, None] * n2
     )
     front = vecmath.dot(d, smooth) < 0.0
     normal = jnp.where(front[:, None], smooth, -smooth)
 
-    uv = w[:, None] * tr.uv0[idx] + u[:, None] * tr.uv1[idx] + v[:, None] * tr.uv2[idx]
-    tangent = tr.tangent[idx]
+    uv = w[:, None] * uv0 + u[:, None] * uv1 + v[:, None] * uv2
     bitangent = jnp.cross(normal, tangent)
-    return p, normal, tangent, bitangent, front, uv[:, 0], uv[:, 1], tr.mat[idx]
+    return p, normal, tangent, bitangent, front, uv[:, 0], uv[:, 1], mat
 
 
 def make_record(scene: Scene, o, d, hit: Hit) -> HitRecord:

@@ -11,6 +11,17 @@ Same math as the MXU matmul formulation (see intersect.py): ray features
 [N,16] against per-primitive coefficient columns; the epilogues are the
 *shared* functions sphere_candidate_t_mm / triangle_candidate_t_mm, so the
 kernel is hit-set-identical to the XLA path by construction.
+
+Chunk culling: primitive tables are Morton-ordered (GeometryBuilder.pack),
+so every CHUNK_PRIMS-wide coefficient chunk has a tight AABB
+(MMTables.sphere_bounds / tri_bounds). For each ray block the kernel forms
+the conservative reachable box {o + t*d : o in block origin AABB,
+d in block direction AABB, 0 <= t <= max(best_t)} per axis and skips chunks
+whose AABB cannot overlap it. The max(best_t) bound tightens as closer hits
+are found, so the cull doubles as occlusion culling. With coherent blocks
+(primary rays, or pool lanes sorted by direction octant + origin Morton —
+see ops/wavefront.py) most chunks are skipped; fully incoherent blocks
+degrade to the dense scan, never worse than correct.
 """
 
 from __future__ import annotations
@@ -34,11 +45,13 @@ from .intersect import (
 
 # Rays per grid program.
 BLOCK_RAYS = 512
-# Primitive columns per inner-loop chunk (multiple of MM_PAD's 256).
+# Primitive columns per inner-loop chunk (== intersect.MM_PAD so the chunk
+# AABBs in MMTables line up one-to-one).
 CHUNK_PRIMS = 256
 
 
 def _closest_hit_kernel(tmin_ref, feats_ref, scoeff_ref, tcoeff_ref,
+                        sbounds_ref, tbounds_ref,
                         t_ref, idx_ref, type_ref,
                         *, n_spheres: int, n_tris: int):
     """One ray block vs the whole scene; scene tables live in VMEM."""
@@ -47,50 +60,79 @@ def _closest_hit_kernel(tmin_ref, feats_ref, scoeff_ref, tcoeff_ref,
     a = feats[:, 12:13]                       # |d|^2 (ray_features col 12)
     tmin = jnp.full((b,), tmin_ref[0, 0])
 
+    # Per-ray slab-test ingredients for chunk culling: direction (cols 0:3)
+    # and origin (cols 3:6). Zero components get a huge finite inverse so
+    # the slab arithmetic stays NaN-free (conservative either way).
+    d = feats[:, 0:3]
+    o = feats[:, 3:6]
+    safe_d = jnp.where(jnp.abs(d) < 1e-30, 1e-30, d)
+    inv_d = 1.0 / safe_d                      # [B, 3]
+
     best_t = jnp.full((b,), T_MAX, jnp.float32)
     best_idx = jnp.zeros((b,), jnp.int32)
     best_type = jnp.zeros((b,), jnp.int32)
 
-    def scan_table(coeff_ref, g, epilogue, n_rows, ptype, carry):
+    def scan_table(coeff_ref, bounds_ref, g, epilogue, n_rows, ptype, carry):
         n_chunks = coeff_ref.shape[2] // CHUNK_PRIMS
 
         def body(ci, carry):
             best_t, best_idx, best_type = carry
-            # [16, G, CHUNK] -> [16, G*CHUNK]: contiguous minor-dim merge.
-            block = coeff_ref[:, :, pl.ds(ci * CHUNK_PRIMS, CHUNK_PRIMS)]
-            block = block.reshape(RAY_FEATURE_DIM, g * CHUNK_PRIMS)
-            # HIGHEST: default TPU matmul precision is bf16 and flips hits
-            # (see intersect._scan_chunks_mm); f32-emulated is near-free here
-            # because the kernel is VMEM-resident.
-            out = jnp.dot(feats, block, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-            groups = [out[:, i * CHUNK_PRIMS:(i + 1) * CHUNK_PRIMS]
-                      for i in range(g)]
-            t = epilogue(*groups, tmin, best_t)
-            # Mask padding rows past the true primitive count.
-            rows = ci * CHUNK_PRIMS + jax.lax.broadcasted_iota(
-                jnp.int32, (1, CHUNK_PRIMS), 1
-            )
-            t = jnp.where(rows < n_rows, t, T_MAX)
-            cmin = jnp.min(t, axis=1)
-            carg = jnp.argmin(t, axis=1).astype(jnp.int32)
-            better = cmin < best_t
-            best_t = jnp.where(better, cmin, best_t)
-            best_idx = jnp.where(better, ci * CHUNK_PRIMS + carg, best_idx)
-            best_type = jnp.where(better, ptype, best_type)
-            return best_t, best_idx, best_type
+
+            # Exact per-ray slab test against the chunk AABB with each
+            # ray's own current best_t as the far bound, so the cull is
+            # occlusion-aware per ray: the chunk runs only if at least one
+            # ray in the block can still hit its box (aabb.hpp:44-66).
+            box_lo = jnp.stack([bounds_ref[ci, 0], bounds_ref[ci, 1],
+                                bounds_ref[ci, 2]])
+            box_hi = jnp.stack([bounds_ref[ci, 3], bounds_ref[ci, 4],
+                                bounds_ref[ci, 5]])
+            t0 = (box_lo[None, :] - o) * inv_d   # [B, 3]
+            t1 = (box_hi[None, :] - o) * inv_d
+            t_near = jnp.max(jnp.minimum(t0, t1), axis=1)
+            t_far = jnp.min(jnp.maximum(t0, t1), axis=1)
+            can_hit = (t_near <= t_far) & (t_far > 0.0) & (t_near < best_t)
+            # Padding chunks carry inverted-infinite AABBs: cull outright.
+            nonempty = bounds_ref[ci, 0] <= bounds_ref[ci, 3]
+            possible = jnp.any(can_hit) & nonempty
+
+            def do_chunk(carry):
+                best_t, best_idx, best_type = carry
+                # [16, G, CHUNK] -> [16, G*CHUNK]: contiguous minor merge.
+                block = coeff_ref[:, :, pl.ds(ci * CHUNK_PRIMS, CHUNK_PRIMS)]
+                block = block.reshape(RAY_FEATURE_DIM, g * CHUNK_PRIMS)
+                # HIGHEST: default TPU matmul precision is bf16 and flips
+                # hits (see intersect._scan_chunks_mm).
+                out = jnp.dot(feats, block, preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+                groups = [out[:, i * CHUNK_PRIMS:(i + 1) * CHUNK_PRIMS]
+                          for i in range(g)]
+                t = epilogue(*groups, tmin, best_t)
+                # Mask padding rows past the true primitive count.
+                rows = ci * CHUNK_PRIMS + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, CHUNK_PRIMS), 1
+                )
+                t = jnp.where(rows < n_rows, t, T_MAX)
+                cmin = jnp.min(t, axis=1)
+                carg = jnp.argmin(t, axis=1).astype(jnp.int32)
+                better = cmin < best_t
+                best_t = jnp.where(better, cmin, best_t)
+                best_idx = jnp.where(better, ci * CHUNK_PRIMS + carg, best_idx)
+                best_type = jnp.where(better, ptype, best_type)
+                return best_t, best_idx, best_type
+
+            return jax.lax.cond(possible, do_chunk, lambda c: c, carry)
 
         return jax.lax.fori_loop(0, n_chunks, body, carry)
 
     if n_spheres:
         best_t, best_idx, best_type = scan_table(
-            scoeff_ref, 2,
+            scoeff_ref, sbounds_ref, 2,
             lambda h, c, lo, hi: sphere_candidate_t_mm(h, c, a, lo, hi),
             n_spheres, PRIM_SPHERE, (best_t, best_idx, best_type),
         )
     if n_tris:
         best_t, best_idx, best_type = scan_table(
-            tcoeff_ref, 4, triangle_candidate_t_mm,
+            tcoeff_ref, tbounds_ref, 4, triangle_candidate_t_mm,
             n_tris, PRIM_TRIANGLE, (best_t, best_idx, best_type),
         )
 
@@ -100,8 +142,8 @@ def _closest_hit_kernel(tmin_ref, feats_ref, scoeff_ref, tcoeff_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("n_spheres", "n_tris", "interpret"))
-def _closest_hit_call(feats, scoeff, tcoeff, tmin, *, n_spheres, n_tris,
-                      interpret=False):
+def _closest_hit_call(feats, scoeff, tcoeff, sbounds, tbounds, tmin,
+                      *, n_spheres, n_tris, interpret=False):
     n = feats.shape[0]
     n_pad = -(-n // BLOCK_RAYS) * BLOCK_RAYS
     if n_pad != n:
@@ -122,6 +164,10 @@ def _closest_hit_call(feats, scoeff, tcoeff, tmin, *, n_spheres, n_tris,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(tcoeff.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(sbounds.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(tbounds.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((BLOCK_RAYS, 1), lambda i: (i, 0),
@@ -137,7 +183,7 @@ def _closest_hit_call(feats, scoeff, tcoeff, tmin, *, n_spheres, n_tris,
             jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
         ),
         interpret=interpret,
-    )(jnp.reshape(tmin, (1, 1)), feats, scoeff, tcoeff)
+    )(jnp.reshape(tmin, (1, 1)), feats, scoeff, tcoeff, sbounds, tbounds)
     return t[:n, 0], idx[:n, 0], ptype[:n, 0]
 
 
@@ -149,7 +195,8 @@ def intersect_brute_pallas(scene, o, d, tmin, *, interpret: bool = False) -> Hit
     feats = ray_features(o, d)
     tmin = jnp.asarray(tmin, jnp.float32).reshape(())
     t, idx, ptype = _closest_hit_call(
-        feats, scene.mm.sphere_coeff, scene.mm.tri_coeff, tmin,
+        feats, scene.mm.sphere_coeff, scene.mm.tri_coeff,
+        scene.mm.sphere_bounds, scene.mm.tri_bounds, tmin,
         n_spheres=scene.spheres.count, n_tris=scene.triangles.count,
         interpret=interpret,
     )

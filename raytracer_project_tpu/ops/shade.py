@@ -26,6 +26,27 @@ from .intersect import HitRecord
 _BUMP_DELTA = 1.0 / 1024.0
 
 
+def _mat_fetch(scene: Scene, mat_ids):
+    """One wide-row gather of all material columns.
+
+    XLA:TPU stages 1-column gather tables through a serial SMEM copy per
+    gather (see intersect._sphere_packed); packing the material table into
+    one [M, 8] f32 matrix makes the whole lookup a single vector gather.
+    Returns (mtype i32[N], albedo f32[N,3], param f32[N], texture_id
+    i32[N], bump_id i32[N], bump_strength f32[N]).
+    """
+    m = scene.materials
+    packed = jnp.concatenate(
+        [m.albedo, m.param[:, None], m.mtype.astype(jnp.float32)[:, None],
+         m.texture_id.astype(jnp.float32)[:, None],
+         m.bump_id.astype(jnp.float32)[:, None],
+         m.bump_strength[:, None]], axis=1,
+    )[mat_ids]
+    return (packed[:, 4].astype(jnp.int32), packed[:, 0:3], packed[:, 3],
+            packed[:, 5].astype(jnp.int32), packed[:, 6].astype(jnp.int32),
+            packed[:, 7])
+
+
 class Scatter(NamedTuple):
     """Result of one shading event (all [N])."""
 
@@ -55,10 +76,8 @@ def get_albedo(scene: Scene, rec: HitRecord):
     """Denoiser/AOV albedo (material.hpp:29,99-102,154-156,226-229,266-275):
     lambertian/metal -> texture color; dielectric -> white; emissive ->
     emission clamped to <= 1; isotropic -> its albedo texture."""
-    m = scene.materials
-    mtype = m.mtype[rec.mat]
-    solid = m.albedo[rec.mat]
-    tex = tex_mod.sample(scene.textures, m.texture_id[rec.mat], rec.u, rec.v, rec.p, solid)
+    mtype, solid, _, texture_id, _, _ = _mat_fetch(scene, rec.mat)
+    tex = tex_mod.sample(scene.textures, texture_id, rec.u, rec.v, rec.p, solid)
     albedo = tex
     albedo = jnp.where((mtype == mat_mod.DIELECTRIC)[:, None], 1.0, albedo)
     albedo = jnp.where(
@@ -77,21 +96,18 @@ def scatter(scene: Scene, rec: HitRecord, in_dir, keys) -> Scatter:
     keys: per-lane keys [N, 2] — randomness depends only on the lane's own
     key so shading is shard-invariant and replayable.
     """
-    m = scene.materials
-    mtype = m.mtype[rec.mat]
-    param = m.param[rec.mat]
-    solid = m.albedo[rec.mat]
+    mtype, solid, param, texture_id, bump_id, bump_strength = _mat_fetch(
+        scene, rec.mat
+    )
     tex_color = tex_mod.sample(
-        scene.textures, m.texture_id[rec.mat], rec.u, rec.v, rec.p, solid
+        scene.textures, texture_id, rec.u, rec.v, rec.p, solid
     )
 
     k_sphere, k_choice = rng.split_each(keys, 2)
     sphere_draw = rng.unit_vector_each(k_sphere)      # shared across families
     choice_u = rng.uniform_each(k_choice)             # dielectric reflect prob
 
-    working_n = bumped_normal(
-        scene, rec, m.bump_id[rec.mat], m.bump_strength[rec.mat]
-    )
+    working_n = bumped_normal(scene, rec, bump_id, bump_strength)
     unit_in = vecmath.normalize(in_dir)
 
     # --- lambertian (material.hpp:74-96) ---

@@ -1,0 +1,424 @@
+"""Pooled-wavefront integrator: dead lanes respawn new samples immediately.
+
+The chunked integrator (integrator.accumulate_samples) advances a fixed
+(pixel x sample) wavefront in lock-step for all `max_depth` bounces: lanes
+whose path terminated early (sky miss, absorption, Russian roulette) idle as
+masked no-ops while the stragglers finish, so late bounce iterations run at
+a few percent occupancy — most of the brute-force intersection work is
+wasted on dead lanes.
+
+This module implements the classic wavefront-pool design, TPU-style: a
+fixed-size lane pool where every step (a) advances all live paths one
+bounce and (b) *refills* lanes whose path just ended with the next
+(pixel, sample) work item. Occupancy stays ~100%, so total intersection
+work is proportional to the actual number of path segments
+(~2-4 per sample) instead of samples x max_depth (reference default 10,
+camera.hpp:30). Everything is static-shaped: respawn is a masked prefix-sum
+assignment, accumulation is scatter-add (both measured sub-millisecond on
+v5e for 262k lanes).
+
+Per-sample radiance is bit-identical to integrator.render_sample: lane
+randomness is keyed on (base key, sample, pixel, bounce) exactly as there,
+so pooling only changes the *order* in which finished samples are added
+into each pixel's accumulator (float-rounding-level differences vs the
+chunked path, same estimator).
+
+Reference parity notes: bounce-0 lanes reproduce the first-hit-reuse
+structure of camera.hpp:454-527 (shared first hit feeding beauty + AOVs +
+reflection/refraction split passes); later bounces reproduce the iterative
+ray_color loop (camera.hpp:928-986) including the weak-ray cutoff and
+Russian roulette constants.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import rng, vecmath
+from ..core.constants import (
+    RR_P_MAX,
+    RR_P_MIN,
+    RR_START_BOUNCE,
+    T_MIN,
+    WEAK_RAY_EPS,
+)
+from ..models import camera as camera_mod
+from ..models import environment as env_mod
+from ..models.scene import Scene
+from . import intersect, shade, volumes as volumes_mod
+from .integrator import RenderConfig, SampleBuffers
+
+# Default lane-pool size: big enough to keep the MXU intersection batches
+# wide, small enough that the respawn tail (< one pool of partially-idle
+# steps) stays negligible for real sample counts.
+POOL_LANES = 262_144
+
+
+
+class _PoolState(NamedTuple):
+    # Work scheduling.
+    next_work: jax.Array   # i32 [] next unclaimed work index
+    live: jax.Array        # bool[P]
+    # Path identity.
+    li: jax.Array          # i32[P] local pixel slot (row in the accumulators)
+    pix: jax.Array         # i32[P] global pixel id (keys + camera)
+    samp: jax.Array        # i32[P] absolute sample index
+    bounce: jax.Array      # i32[P] 0 = camera segment
+    is_spec: jax.Array     # bool[P] reflection/refraction split-pass path
+    # Ray state.
+    origin: jax.Array      # f32[P,3]
+    direction: jax.Array   # f32[P,3]
+    throughput: jax.Array  # f32[P,3]
+    radiance: jax.Array    # f32[P,3]
+    # Spec-pass routing decided at the first hit (camera.hpp:492-517).
+    attn0: jax.Array       # f32[P,3] first-hit attenuation
+    to_refl: jax.Array     # bool[P]
+    to_refr: jax.Array     # bool[P]
+    # Accumulators (sums, like integrator.accumulate_samples).
+    acc: SampleBuffers
+
+
+def _spawn(scene: Scene, cam, key, config: RenderConfig, pixel_ids,
+           sample_offset, n_beauty, work_id):
+    """Decode work item -> fresh lane state (bounce 0, camera ray).
+
+    Work layout: [0, n_beauty) are beauty paths in sample-major order
+    (w = s * n + li); [n_beauty, 2 * n_beauty) are the reflection/refraction
+    split-pass paths in the same order.
+    """
+    n = pixel_ids.shape[0]
+    is_spec = work_id >= n_beauty
+    w = jnp.where(is_spec, work_id - n_beauty, work_id)
+    samp_rel = w // n
+    li = w - samp_rel * n
+    samp = sample_offset + samp_rel
+    # f32 gather: XLA:TPU stages s32 gather tables through a scalar SMEM
+    # loop (~200x slower); pixel ids are < 2^24 so f32 is exact.
+    pix = pixel_ids.astype(jnp.float32)[li].astype(jnp.int32)
+
+    # Lane key stream: fold_in(fold_in(key, sample), pixel) — identical to
+    # integrator.render_sample's sample_ids path.
+    pkey = jax.vmap(
+        lambda s, p: jax.random.fold_in(jax.random.fold_in(key, s), p)
+    )(samp, pix)
+    k_ray = rng.split_each(pkey, 6)[0]
+    o, d = camera_mod.generate_rays(cam, k_ray, pix, config.width)
+    return li, pix, samp, is_spec, o, d, pkey
+
+
+def _select_keys(mask, a, b):
+    """jnp.where over u32 key arrays, routed through f32 bitcasts.
+
+    XLA:TPU lowers u32 selects to a serial scalar loop (measured ~31 ms of
+    SMEM staging per select at 262k lanes); select itself is bit-transparent
+    so bitcasting to f32 puts it on the VPU with identical results.
+    """
+    fa = jax.lax.bitcast_convert_type(a, jnp.float32)
+    fb = jax.lax.bitcast_convert_type(b, jnp.float32)
+    out = jnp.where(mask, fa, fb)
+    return jax.lax.bitcast_convert_type(out, a.dtype)
+
+
+def _lane_keys(key, samp, pix):
+    """Recompute the per-lane key stream (cheap threefry; avoids carrying
+    six key arrays through the loop state)."""
+    pkey = jax.vmap(
+        lambda s, p: jax.random.fold_in(jax.random.fold_in(key, s), p)
+    )(samp, pix)
+    return rng.split_each(pkey, 6)
+
+
+def _morton_spread_u32(x):
+    """Spread the low 8 bits to every 3rd position (uint32, vectorized)."""
+    x = x & jnp.uint32(0xFF)
+    x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+    x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+    x = (x | (x << 2)) & jnp.uint32(0x09249249)
+    return x
+
+
+# Coherence-partition bucket count: 1 dead-lane bit + 3 direction-octant
+# bits (major) + 1 Morton level of origin (3 bits, minor). More buckets
+# partition finer but the [P, NB] counting-sort cumsum scales linearly.
+_N_BUCKETS = 1 << 7
+
+
+def _coherence_order(origin, direction, live):
+    """Lane permutation grouping rays by direction octant (major) then a
+    coarse origin Morton cell (minor), dead lanes last.
+
+    Grouped pool blocks are directionally/spatially coherent, which is what
+    makes the Pallas intersector's per-block chunk culling effective on
+    secondary bounces (primary blocks are naturally coherent). Implemented
+    as a single stable counting-sort pass over a small bucket key: a full
+    argsort costs ~57 ms/step on v5e (XLA bitonic sort), the bucket
+    partition runs in ~1 ms. Pure scheduling: lane randomness is
+    (sample, pixel)-keyed, so reordering never changes any sample's value.
+    """
+    p = origin.shape[0]
+    lo = jnp.min(origin, axis=0)
+    span = jnp.maximum(jnp.max(origin, axis=0) - lo, 1e-6)
+    q = (origin - lo) / span  # [0, 1] per axis
+    half = lambda v: (v > 0.5).astype(jnp.uint32)
+    morton = (half(q[:, 0]) << 2) | (half(q[:, 1]) << 1) | half(q[:, 2])
+    octant = (
+        ((direction[:, 0] > 0).astype(jnp.uint32) << 2)
+        | ((direction[:, 1] > 0).astype(jnp.uint32) << 1)
+        | (direction[:, 2] > 0).astype(jnp.uint32)
+    )
+    bkey = (
+        ((~live).astype(jnp.uint32) << 6) | (octant << 3) | morton
+    ).astype(jnp.int32)  # [P] in [0, 128)
+
+    # Counting sort in f32: counts are < 2^24 (exact in f32) and f32
+    # cumsums/gathers stay on the VPU, where s32 ones get SMEM-serialized.
+    onehot = (bkey[:, None] == jnp.arange(_N_BUCKETS, dtype=jnp.int32)[None, :])
+    within = jnp.cumsum(onehot.astype(jnp.float32), axis=0)    # [P, NB]
+    totals = within[-1]                                        # [NB]
+    base = jnp.concatenate(
+        [jnp.zeros((1,), jnp.float32), jnp.cumsum(totals)[:-1]]
+    )
+    rank = jnp.take_along_axis(within, bkey[:, None], axis=1)[:, 0] - 1.0
+    dest = (base[bkey] + rank).astype(jnp.int32)
+    # Invert: order[dest[i]] = i  (dest is a permutation).
+    return jnp.zeros((p,), jnp.int32).at[dest].set(
+        jnp.arange(p, dtype=jnp.int32)
+    )
+
+
+def render_pool(scene: Scene, cam: camera_mod.Camera, env, key,
+                config: RenderConfig, pixel_ids, sample_offset=0,
+                pool_lanes: int | None = None) -> SampleBuffers:
+    """Pooled-wavefront accumulation: drop-in for accumulate_samples.
+
+    Returns per-pixel *sums* over `config.samples_per_pixel` samples, same
+    contract (and same per-sample values) as integrator.accumulate_samples.
+    Requires the non-differentiable path (uses while_loop + scatter-add).
+    """
+    n = pixel_ids.shape[0]
+    spp = config.samples_per_pixel
+    aux = min(config.aux_samples, spp)
+    want_spec = config.use_reflection or config.use_refraction
+    n_beauty = n * spp
+    total_work = n_beauty * (2 if want_spec else 1)
+    p = pool_lanes or min(total_work, POOL_LANES)
+    sample_offset = jnp.asarray(sample_offset, jnp.int32)
+
+    zeros3 = jnp.zeros((n, 3), jnp.float32)
+    acc0 = SampleBuffers(zeros3, zeros3, zeros3, zeros3, zeros3, zeros3)
+
+    # --- initial fill: work items [0, p) ---
+    w0 = jnp.arange(p, dtype=jnp.int32)
+    li, pix, samp, is_spec, o, d, _ = _spawn(
+        scene, cam, key, config, pixel_ids, sample_offset, n_beauty, w0
+    )
+    f = jnp.zeros((p,), bool)
+    state = _PoolState(
+        next_work=jnp.asarray(min(p, total_work), jnp.int32),
+        live=w0 < total_work,
+        li=li, pix=pix, samp=samp,
+        bounce=jnp.zeros((p,), jnp.int32),
+        is_spec=is_spec,
+        origin=o, direction=d,
+        throughput=jnp.ones((p, 3), jnp.float32),
+        radiance=jnp.zeros((p, 3), jnp.float32),
+        attn0=jnp.ones((p, 3), jnp.float32),
+        to_refl=f, to_refr=f,
+        acc=acc0,
+    )
+
+    def scatter_add(buf, mask, slot, val):
+        """buf[n,3] += val where mask (masked lanes land in an overflow row)."""
+        tgt = jnp.where(mask, slot, n)
+        contrib = jnp.where(mask[:, None], val, 0.0)
+        return (
+            jnp.concatenate([buf, jnp.zeros((1, 3), buf.dtype)], axis=0)
+            .at[tgt].add(contrib)[:n]
+        )
+
+    def cond(s: _PoolState):
+        return jnp.any(s.live)
+
+    def body(s: _PoolState):
+        at0 = s.bounce == 0
+        keys6 = _lane_keys(key, s.samp, s.pix)
+        _, k_first, k_path, k_spec, k_spec_path, k_vol0 = keys6
+        # Continuation keys: fold the trace-local bounce index (bounce - 1)
+        # into the path stream, exactly as integrator.trace does.
+        cont_stream = _select_keys(s.is_spec[:, None], k_spec_path, k_path)
+        bk = rng.fold_each(cont_stream, jnp.maximum(s.bounce - 1, 0))
+        k_sc_c, k_rr, k_vol_c = rng.split_each(bk, 3)
+        k_scatter = _select_keys(
+            at0[:, None], _select_keys(s.is_spec[:, None], k_spec, k_first),
+            k_sc_c,
+        )
+        k_vol = _select_keys(at0[:, None], k_vol0, k_vol_c)
+
+        hit = intersect.intersect(scene, s.origin, s.direction, T_MIN)
+        rec = intersect.make_record(scene, s.origin, s.direction, hit)
+        if scene.volumes is not None:
+            rec = volumes_mod.apply_to_record(
+                scene.volumes, s.origin, s.direction, hit, rec, k_vol
+            )
+        bg = env_mod.background_color(env, s.direction, config.env_mode)
+        sc = shade.scatter(scene, rec, s.direction, k_scatter)
+
+        # --- radiance / path-state update (trace body semantics) ---
+        # Spec paths skip first-hit emission: their trace starts *after* the
+        # first scatter with throughput 1 (camera.hpp:494-498).
+        emit_ok = ~(at0 & s.is_spec)
+        miss = s.live & ~rec.hit
+        radiance = s.radiance + jnp.where(miss[:, None], s.throughput * bg, 0.0)
+        active = s.live & rec.hit
+        radiance = radiance + jnp.where(
+            (active & emit_ok)[:, None], s.throughput * sc.emitted, 0.0
+        )
+        throughput = jnp.where(
+            (active & sc.scattered & emit_ok)[:, None],
+            s.throughput * sc.attenuation,
+            s.throughput,
+        )
+        active = active & sc.scattered
+
+        # Weak-ray cutoff + Russian roulette: late = trace-local bounce
+        # (bounce - 1) strictly past RR_START_BOUNCE (camera.hpp:967-983);
+        # never fires on the camera segment.
+        late = (s.bounce - 1) > RR_START_BOUNCE
+        weak = late & (vecmath.length(throughput) < WEAK_RAY_EPS)
+        active = active & ~weak
+        p_rr = jnp.clip(jnp.max(throughput, axis=-1), RR_P_MIN, RR_P_MAX)
+        u = rng.uniform_each(k_rr)
+        active = active & ~(late & (u > p_rr))
+        throughput = jnp.where(
+            (late & active)[:, None], throughput / p_rr[:, None], throughput
+        )
+
+        # Depth exhausted: the continuation runs bounces 1..max_depth-1.
+        active = active & (s.bounce + 1 < config.max_depth)
+
+        # --- spec-pass routing flags, decided at the first hit ---
+        spec0 = at0 & s.is_spec & s.live
+        unit_d = vecmath.normalize(s.direction)
+        refl_dir = vecmath.reflect(unit_d, vecmath.normalize(rec.normal))
+        is_specular = vecmath.dot(vecmath.normalize(sc.direction), refl_dir) > 0.9
+        entering = vecmath.dot(sc.direction, rec.normal) < 0.0
+        spec_live = rec.hit & sc.scattered
+        to_refl = jnp.where(
+            spec0, spec_live & is_specular & config.use_reflection, s.to_refl
+        )
+        to_refr = jnp.where(
+            spec0,
+            spec_live & ~is_specular & entering & config.use_refraction,
+            s.to_refr,
+        )
+        attn0 = jnp.where(spec0[:, None], sc.attenuation, s.attn0)
+        # Spec paths with routing to neither buffer are dead work: kill now.
+        active = active & ~(spec0 & ~(to_refl | to_refr))
+
+        # --- AOV contributions from beauty camera segments ---
+        acc = s.acc
+        cam0 = at0 & ~s.is_spec & s.live
+        is_aux = cam0 & (s.samp < aux)
+        if config.use_albedo:
+            albedo = jnp.where(rec.hit[:, None], shade.get_albedo(scene, rec), 0.0)
+            acc = acc._replace(albedo=scatter_add(acc.albedo, is_aux, s.li, albedo))
+        if config.use_normal:
+            normal = jnp.where(
+                rec.hit[:, None],
+                camera_mod.view_space_normal_color(cam, rec.normal),
+                jnp.asarray([0.5, 0.5, 1.0]),
+            )
+            acc = acc._replace(normal=scatter_add(acc.normal, is_aux, s.li, normal))
+        if config.use_z_depth:
+            zval = 1.0 - jnp.clip(rec.t / config.z_depth_max_dist, 0.0, 1.0)
+            z = jnp.where(rec.hit[:, None], zval[:, None], 0.0) * jnp.ones((1, 3))
+            acc = acc._replace(z_depth=scatter_add(acc.z_depth, is_aux, s.li, z))
+
+        # --- finished paths -> accumulators ---
+        done = s.live & ~active
+        done_beauty = done & ~s.is_spec
+        acc = acc._replace(
+            beauty=scatter_add(acc.beauty, done_beauty, s.li, radiance)
+        )
+        if want_spec:
+            # Firefly clamp on the continuation color, then modulate by the
+            # stored first-hit attenuation (camera.hpp:499-509).
+            luma = 0.2126 * vecmath.length(radiance)
+            scale = jnp.where(luma > 2.0, 2.0 / jnp.maximum(luma, 1e-12), 1.0)
+            contrib = attn0 * (radiance * scale[:, None])
+            acc = acc._replace(
+                reflection=scatter_add(
+                    acc.reflection, done & to_refl, s.li, contrib
+                ),
+                refraction=scatter_add(
+                    acc.refraction, done & to_refr, s.li, contrib
+                ),
+            )
+
+        # --- respawn finished/idle lanes with fresh work ---
+        free = ~s.live | done
+        # f32 cumsum: s32 scans get SMEM-serialized on TPU; P < 2^24.
+        rank = (jnp.cumsum(free.astype(jnp.float32)) - 1.0).astype(jnp.int32)
+        new_w = s.next_work + rank
+        can_spawn = free & (new_w < total_work)
+        n_spawned = jnp.minimum(
+            jnp.sum(free.astype(jnp.int32)),
+            total_work - s.next_work,
+        )
+        sli, spix, ssamp, sspec, so, sd, _ = _spawn(
+            scene, cam, key, config, pixel_ids, sample_offset, n_beauty,
+            jnp.clip(new_w, 0, total_work - 1),
+        )
+        sel = lambda fresh, old: jnp.where(
+            can_spawn[:, None] if old.ndim == 2 else can_spawn, fresh, old
+        )
+        ns = _PoolState(
+            next_work=s.next_work + n_spawned,
+            live=(s.live & active) | can_spawn,
+            li=sel(sli, s.li),
+            pix=sel(spix, s.pix),
+            samp=sel(ssamp, s.samp),
+            bounce=jnp.where(can_spawn, 0, s.bounce + 1),
+            is_spec=sel(sspec, s.is_spec),
+            origin=sel(so, jnp.where(active[:, None], sc.origin, s.origin)),
+            direction=sel(sd, jnp.where(active[:, None], sc.direction, s.direction)),
+            throughput=sel(jnp.ones((p, 3), jnp.float32), throughput),
+            radiance=sel(jnp.zeros((p, 3), jnp.float32), radiance),
+            attn0=sel(jnp.ones((p, 3), jnp.float32), attn0),
+            to_refl=sel(f, to_refl),
+            to_refr=sel(f, to_refr),
+            acc=acc,
+        )
+        if not config.sort_lanes:
+            return ns
+        # Re-sort lanes for block coherence (feeds the Pallas chunk culling).
+        order = _coherence_order(ns.origin, ns.direction, ns.live)
+        # 1-D (and non-f32) permutes get serialized through SMEM by XLA:TPU;
+        # pack all scalar lane fields into one [P, 8] f32 matrix so the
+        # whole permute is six fast 2-D vector gathers. Ids are < 2^24, so
+        # the f32 round-trip is exact.
+        f32 = jnp.float32
+        packed = jnp.stack([
+            ns.live.astype(f32), ns.li.astype(f32), ns.pix.astype(f32),
+            ns.samp.astype(f32), ns.bounce.astype(f32),
+            ns.is_spec.astype(f32), ns.to_refl.astype(f32),
+            ns.to_refr.astype(f32),
+        ], axis=-1)[order]
+        i32 = lambda k: packed[:, k].astype(jnp.int32)
+        return ns._replace(
+            live=packed[:, 0] > 0.5, li=i32(1), pix=i32(2),
+            samp=i32(3), bounce=i32(4),
+            is_spec=packed[:, 5] > 0.5,
+            origin=ns.origin[order],
+            direction=ns.direction[order],
+            throughput=ns.throughput[order],
+            radiance=ns.radiance[order],
+            attn0=ns.attn0[order],
+            to_refl=packed[:, 6] > 0.5, to_refr=packed[:, 7] > 0.5,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    return final.acc

@@ -1,0 +1,32 @@
+"""Trace ONE pool body step at bench shapes; print exclusive op times."""
+import time, sys
+import jax, jax.numpy as jnp
+from raytracer_project_tpu.models import camera as cam_mod, environment as env_mod, presets
+from raytracer_project_tpu.ops import integrator, wavefront
+
+W, H, SPP = 800, 450, 32
+scene = presets.showcase_scene(with_bvh=True, with_meshes=True)
+cfg = integrator.RenderConfig(width=W, height=H, samples_per_pixel=SPP,
+    max_depth=10, env_mode=env_mod.PHYSICAL_SUN,
+    use_albedo=False, use_normal=False, use_z_depth=False, wavefront=True)
+cam = cam_mod.make_camera(image_width=W, image_height=H, vfov=30.0,
+                          lookfrom=(12.0, 2.5, 6.0), lookat=(0.0, 1.0, 0.0))
+env = env_mod.make_environment(sun_direction=(0.4, 0.7, 0.2), sun_intensity=6.0)
+key = jax.random.PRNGKey(0)
+pixel_ids = jnp.arange(W * H, dtype=jnp.int32)
+
+state0, cond, body = wavefront.make_pool(scene, cam, env, key, cfg, pixel_ids)
+step = jax.jit(body)
+s1 = jax.block_until_ready(step(state0))
+s2 = jax.block_until_ready(step(s1))  # steady-state-ish input
+t0 = time.perf_counter()
+REPS = 5
+s = s2
+for _ in range(REPS):
+    s = step(s)
+jax.block_until_ready(s)
+print(f"one pool step: {(time.perf_counter()-t0)/REPS*1e3:.2f} ms", file=sys.stderr)
+
+with jax.profiler.trace('/tmp/jtrace'):
+    s = step(s2)
+    jax.block_until_ready(s)

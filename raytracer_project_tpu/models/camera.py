@@ -92,33 +92,35 @@ def make_camera(
     )
 
 
-def generate_rays(cam: Camera, keys: jax.Array, pixel_ids: jax.Array,
-                  width: int):
+def generate_rays(cam: Camera, keys, pixel_ids: jax.Array, width: int):
     """One jittered thin-lens ray per pixel (camera.hpp:784-794).
 
-    keys: per-pixel keys [n, 2] (see core.rng.per_lane_keys) — each pixel's
-    jitter/defocus randomness depends only on its own key, making ray
-    generation shard-invariant. pixel_ids: global row-major pixel indices
-    [n] (index = j * width + i).
+    keys: a core.rng.LaneRng (hot path — one PCG4D hash yields both the
+    sub-pixel jitter and the defocus-disk draw) or legacy per-pixel threefry
+    keys [n, 2]. Each pixel's randomness depends only on its own lane
+    identity, making ray generation shard-invariant. pixel_ids: global
+    row-major pixel indices [n] (index = j * width + i).
 
     Returns (origins [n, 3], directions [n, 3]); directions are NOT
     normalized, matching the reference (hit math handles non-unit d).
     """
-    jitter_keys, disk_keys = rng.split_each(keys, 2)
+    if isinstance(keys, rng.LaneRng):
+        offset, disk2 = rng.draw_camera(keys)
+    else:
+        jitter_keys, disk_keys = rng.split_each(keys, 2)
+        offset = rng.square_jitter_each(jitter_keys)
+        disk2 = rng.in_unit_disk_each(disk_keys)[:, :2]
 
     ii = (pixel_ids % width).astype(jnp.float32)
     jj = (pixel_ids // width).astype(jnp.float32)
-
-    offset = rng.square_jitter_each(jitter_keys)
     px = (ii + offset[:, 0])[:, None]
     py = (jj + offset[:, 1])[:, None]
     pixel_sample = cam.pixel00 + px * cam.pixel_delta_u + py * cam.pixel_delta_v
 
-    disk = rng.in_unit_disk_each(disk_keys)
     origin = (
         cam.center
-        + disk[:, 0:1] * cam.defocus_disk_u
-        + disk[:, 1:2] * cam.defocus_disk_v
+        + disk2[:, 0:1] * cam.defocus_disk_u
+        + disk2[:, 1:2] * cam.defocus_disk_v
     )
     direction = pixel_sample - origin
     return origin, direction

@@ -104,16 +104,18 @@ class _PathState(NamedTuple):
     active: jax.Array       # bool[N]
 
 
-def trace(scene: Scene, env, origin, direction, lane_keys, *,
+def trace(scene: Scene, env, origin, direction, lane_rng: rng.LaneRng, *,
           max_bounces: int, env_mode: int, throughput=None, radiance=None,
-          active=None, differentiable: bool = False):
+          active=None, differentiable: bool = False, spec: int = 0):
     """Iterative bounce loop (camera.hpp:928-986) over a ray wavefront.
 
-    lane_keys [N, 2]: per-lane key streams; each bounce folds the bounce
-    index into them, so path randomness depends only on (pixel key, bounce)
-    — shard-invariant. Initial throughput/radiance/active let a caller
-    continue a path that already scattered once (ray_color_from_hit).
-    Returns final radiance f32[N,3].
+    lane_rng: per-lane stateless random stream; each bounce sets the
+    context to the *absolute* segment index (loop bounce + 1; the camera
+    segment is 0), so path randomness depends only on
+    (seed, pixel, sample, bounce, spec) — shard- and schedule-invariant
+    (the pooled wavefront replays identical draws). Initial
+    throughput/radiance/active let a caller continue a path that already
+    scattered once (ray_color_from_hit). Returns final radiance f32[N,3].
     """
     n = origin.shape[0]
     if throughput is None:
@@ -127,8 +129,7 @@ def trace(scene: Scene, env, origin, direction, lane_keys, *,
         return (s.bounce < max_bounces) & jnp.any(s.active)
 
     def body(s: _PathState):
-        bounce_keys = rng.fold_each(lane_keys, s.bounce)
-        k_scatter, k_rr, k_vol = rng.split_each(bounce_keys, 3)
+        lr = lane_rng.with_ctx(s.bounce + 1, spec)
 
         hit = intersect.intersect(scene, s.origin, s.direction, T_MIN)
         rec = intersect.make_record(scene, s.origin, s.direction, hit)
@@ -136,7 +137,7 @@ def trace(scene: Scene, env, origin, direction, lane_keys, *,
             # Stochastic media interaction may preempt the surface hit
             # (constant_medium.hpp:39-77).
             rec = volumes_mod.apply_to_record(
-                scene.volumes, s.origin, s.direction, hit, rec, k_vol
+                scene.volumes, s.origin, s.direction, hit, rec, lr
             )
 
         # Miss -> add environment radiance and retire the lane
@@ -147,7 +148,7 @@ def trace(scene: Scene, env, origin, direction, lane_keys, *,
         active = s.active & rec.hit
 
         # Hit -> emission + scatter (camera.hpp:944-973).
-        sc = shade.scatter(scene, rec, s.direction, k_scatter)
+        sc = shade.scatter(scene, rec, s.direction, lr)
         radiance = radiance + jnp.where(active[:, None], s.throughput * sc.emitted, 0.0)
         throughput = jnp.where(
             (active & sc.scattered)[:, None],
@@ -163,7 +164,7 @@ def trace(scene: Scene, env, origin, direction, lane_keys, *,
 
         # Russian roulette (camera.hpp:976-983).
         p = jnp.clip(jnp.max(throughput, axis=-1), RR_P_MIN, RR_P_MAX)
-        u = rng.uniform_each(k_rr)
+        u = rng.draw_uniform(lr, rng.STREAM_RR)
         killed = late & (u > p)
         active = active & ~killed
         throughput = jnp.where(
@@ -217,11 +218,10 @@ def render_sample(scene: Scene, cam: camera_mod.Camera, env, key,
     the first hit computed once and shared by all passes.
 
     pixel_ids (optional i32[n]): global row-major pixel indices per lane —
-    the sharding hook. sample_ids (optional i32[n]): per-lane sample index;
-    when given, the lane key is fold_in(fold_in(key, sample), pixel), which
-    is bit-identical to the unbatched path's fold_in(key, s) outer fold.
-    Randomness depends only on (key, sample, pixel), so any batching,
-    sharding, or chunking produces bit-identical contributions.
+    the sharding hook. sample_ids (optional i32[n]): per-lane sample index
+    (0 when omitted). Every draw is a pure PCG4D hash of
+    (seed, pixel, sample, bounce, stream) — see core/rng.py — so any
+    batching, sharding, or chunking produces bit-identical contributions.
     """
     if config.differentiable and scene.mm is not None:
         # The MXU coefficient tables are *derived* leaves — gradients must
@@ -233,28 +233,24 @@ def render_sample(scene: Scene, cam: camera_mod.Camera, env, key,
     n = pixel_ids.shape[0]
     zeros = jnp.zeros((n, 3), jnp.float32)
 
-    if sample_ids is None:
-        pkeys = rng.per_lane_keys(key, pixel_ids)
-    else:
-        pkeys = jax.vmap(
-            lambda s, p: jax.random.fold_in(jax.random.fold_in(key, s), p)
-        )(sample_ids, pixel_ids)
-    k_ray, k_first, k_path, k_spec, k_spec_path, k_vol = rng.split_each(pkeys, 6)
+    lr = rng.lane_rng(key, pixel_ids,
+                      0 if sample_ids is None else sample_ids)
+    lr0 = lr.with_ctx(0, 0)  # camera segment, beauty pass
 
-    o, d = camera_mod.generate_rays(cam, k_ray, pixel_ids, config.width)
+    o, d = camera_mod.generate_rays(cam, lr0, pixel_ids, config.width)
 
     first = intersect.intersect(scene, o, d, T_MIN)
     rec = intersect.make_record(scene, o, d, first)
     if scene.volumes is not None:
-        rec = volumes_mod.apply_to_record(scene.volumes, o, d, first, rec, k_vol)
+        rec = volumes_mod.apply_to_record(scene.volumes, o, d, first, rec, lr0)
     hit_mask = rec.hit
     bg = env_mod.background_color(env, d, config.env_mode)
 
     # --- beauty: first-hit reuse (camera.hpp:989-1004) ---
-    sc = shade.scatter(scene, rec, d, k_first)
+    sc = shade.scatter(scene, rec, d, lr0)
     continue_active = hit_mask & sc.scattered
     beauty = trace(
-        scene, env, sc.origin, sc.direction, k_path,
+        scene, env, sc.origin, sc.direction, lr,
         max_bounces=config.max_depth - 1, env_mode=config.env_mode,
         throughput=sc.attenuation,
         radiance=jnp.zeros((n, 3), jnp.float32),
@@ -285,13 +281,13 @@ def render_sample(scene: Scene, cam: camera_mod.Camera, env, key,
     reflection = zeros
     refraction = zeros
     if config.use_reflection or config.use_refraction:
-        sc2 = shade.scatter(scene, rec, d, k_spec)
+        sc2 = shade.scatter(scene, rec, d, lr.with_ctx(0, 1))
         spec_active = hit_mask & sc2.scattered
         scattered_color = trace(
-            scene, env, sc2.origin, sc2.direction, k_spec_path,
+            scene, env, sc2.origin, sc2.direction, lr,
             max_bounces=config.max_depth - 1, env_mode=config.env_mode,
             active=spec_active,
-            differentiable=config.differentiable,
+            differentiable=config.differentiable, spec=1,
         )
         # Firefly clamp: luma = 0.2126 * |color| capped at 2
         # (camera.hpp:499-504; the reference really uses vector length).

@@ -187,17 +187,112 @@ def _closest_hit_call(feats, scoeff, tcoeff, sbounds, tbounds, tmin,
     return t[:n, 0], idx[:n, 0], ptype[:n, 0]
 
 
-def intersect_brute_pallas(scene, o, d, tmin, *, interpret: bool = False) -> Hit:
+def _sort_key(o, d, bounds):
+    """Per-ray coherence bucket: (index of nearest overlapped chunk) * 8 +
+    direction octant; rays overlapping nothing share the last bucket.
+
+    Rays that enter the scene through the same coefficient chunk and travel
+    in the same octant overlap nearly identical chunk *sets*, so grouping
+    them into the same 512-ray kernel blocks makes the per-block union cull
+    approach the per-ray overlap count (measured mean ~7 of 26 chunks on the
+    showcase scene vs ~26 for unsorted bounce blocks).
+    """
+    c = bounds.shape[0]
+    n = o.shape[0]
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-30, 1e-30, d)
+    # Per-axis accumulation keeps every temporary [N, C] (a [N, C, 3] bcast
+    # would pad its minor dim 3 -> 128 on TPU: 42x memory bloat).
+    tn = jnp.full((n, c), -jnp.inf, jnp.float32)
+    tf = jnp.full((n, c), jnp.inf, jnp.float32)
+    for ax in range(3):
+        t0 = (bounds[None, :, ax] - o[:, ax:ax + 1]) * inv[:, ax:ax + 1]
+        t1 = (bounds[None, :, 3 + ax] - o[:, ax:ax + 1]) * inv[:, ax:ax + 1]
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    ok = (tn <= tf) & (tf > 0.0) & (bounds[None, :, 0] <= bounds[None, :, 3])
+    first = jnp.argmin(jnp.where(ok, jnp.maximum(tn, 0.0), jnp.inf), axis=1)
+    first = jnp.where(jnp.any(ok, axis=1), first, c).astype(jnp.int32)
+    octant = (
+        ((d[:, 0] > 0).astype(jnp.int32) << 2)
+        | ((d[:, 1] > 0).astype(jnp.int32) << 1)
+        | (d[:, 2] > 0).astype(jnp.int32)
+    )
+    return first, octant, c + 1
+
+
+def _counting_dest(bkey, n_buckets):
+    """Stable counting-sort destination slots: dest[i] = output position.
+
+    f32 arithmetic keeps the cumsum/gather on the TPU vector path (counts
+    < 2^24 are exact). The one-hot matrix is [N, B]; keep B small (radix
+    digits) — at B in the hundreds the cumsum's memory traffic blows up.
+    """
+    onehot = bkey[:, None] == jnp.arange(n_buckets, dtype=bkey.dtype)[None, :]
+    within = jnp.cumsum(onehot.astype(jnp.float32), axis=0)  # [N, B]
+    totals = within[-1]
+    base = jnp.concatenate(
+        [jnp.zeros((1,), jnp.float32), jnp.cumsum(totals)[:-1]]
+    )
+    rank = jnp.take_along_axis(within, bkey[:, None], axis=1)[:, 0] - 1.0
+    return (base[bkey] + rank).astype(jnp.int32)
+
+
+def _invert_perm(dest):
+    """order[dest[i]] = i, via one f32 scatter (values < 2^24, exact)."""
+    n = dest.shape[0]
+    return (
+        jnp.zeros((n,), jnp.float32)
+        .at[dest].set(jnp.arange(n, dtype=jnp.float32))
+        .astype(jnp.int32)
+    )
+
+
+def _radix_order(minor_key, major_key, n_major):
+    """Permutation grouping lanes by (major_key, minor_key): LSD radix of
+    two counting-sort passes. Returns (order, dest)."""
+    dest1 = _counting_dest(minor_key, 8)
+    order1 = _invert_perm(dest1)
+    major1 = major_key.astype(jnp.float32)[order1].astype(jnp.int32)
+    dest2 = _counting_dest(major1, n_major)
+    # Lane i goes to slot dest2[dest1[i]].
+    dest = dest2.astype(jnp.float32)[dest1].astype(jnp.int32)
+    return _invert_perm(dest), dest
+
+
+def intersect_brute_pallas(scene, o, d, tmin, *, interpret: bool = False,
+                           sort_rays: bool = False) -> Hit:
     """Closest hit over all primitives; drop-in for intersect_brute_mm.
 
     tmin must be a scalar here (the integrator always passes T_MIN).
+    When sort_rays is set, rays are grouped into coherent kernel blocks by a
+    (nearest-chunk, octant) counting sort and the results are permuted back
+    — a pure scheduling change (identical hit set) that feeds the per-block
+    chunk cull. Measured on v5e at 262k lanes / 26 chunks: the sort+permutes
+    cost ~25 ms against ~7 ms of kernel savings, so it stays off by default;
+    revisit for scenes with many more chunks, where the cull win scales and
+    the sort cost does not.
     """
-    feats = ray_features(o, d)
     tmin = jnp.asarray(tmin, jnp.float32).reshape(())
+    order = None
+    if sort_rays:
+        bounds = jnp.concatenate(
+            [jnp.asarray(scene.mm.sphere_bounds),
+             jnp.asarray(scene.mm.tri_bounds)], axis=0,
+        )
+        chunk_key, octant, n_major = _sort_key(o, d, bounds)
+        order, dest = _radix_order(octant, chunk_key, n_major)
+        o, d = o[order], d[order]
+    feats = ray_features(o, d)
     t, idx, ptype = _closest_hit_call(
         feats, scene.mm.sphere_coeff, scene.mm.tri_coeff,
         scene.mm.sphere_bounds, scene.mm.tri_bounds, tmin,
         n_spheres=scene.spheres.count, n_tris=scene.triangles.count,
         interpret=interpret,
     )
+    if order is not None:
+        # Un-permute: ray i's result sits at slot dest[i]; f32 gathers stay
+        # on the fast vector path (idx/ptype values are < 2^24, exact).
+        t = t[dest]
+        idx = idx.astype(jnp.float32)[dest].astype(jnp.int32)
+        ptype = ptype.astype(jnp.float32)[dest].astype(jnp.int32)
     return Hit(t=t, prim_type=ptype, prim_idx=idx, hit=t < T_MAX)

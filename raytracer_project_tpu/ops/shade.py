@@ -93,8 +93,9 @@ def scatter(scene: Scene, rec: HitRecord, in_dir, keys) -> Scatter:
     """One shading event for every lane; branchless over material types.
 
     in_dir f32[N,3] incoming ray direction (not necessarily unit).
-    keys: per-lane keys [N, 2] — randomness depends only on the lane's own
-    key so shading is shard-invariant and replayable.
+    keys: a core.rng.LaneRng (hot path — one PCG4D hash per lane) or legacy
+    per-lane threefry keys [N, 2] — randomness depends only on the lane's
+    own identity so shading is shard-invariant and replayable.
     """
     mtype, solid, param, texture_id, bump_id, bump_strength = _mat_fetch(
         scene, rec.mat
@@ -103,9 +104,15 @@ def scatter(scene: Scene, rec: HitRecord, in_dir, keys) -> Scatter:
         scene.textures, texture_id, rec.u, rec.v, rec.p, solid
     )
 
-    k_sphere, k_choice = rng.split_each(keys, 2)
-    sphere_draw = rng.unit_vector_each(k_sphere)      # shared across families
-    choice_u = rng.uniform_each(k_choice)             # dielectric reflect prob
+    if isinstance(keys, rng.LaneRng):
+        # shared unit-sphere draw + dielectric reflect probability
+        sphere_draw, choice_u = rng.draw_unit_vector_and_uniform(
+            keys, rng.STREAM_SCATTER
+        )
+    else:
+        k_sphere, k_choice = rng.split_each(keys, 2)
+        sphere_draw = rng.unit_vector_each(k_sphere)
+        choice_u = rng.uniform_each(k_choice)
 
     working_n = bumped_normal(scene, rec, bump_id, bump_strength)
     unit_in = vecmath.normalize(in_dir)

@@ -106,7 +106,10 @@ def sample_interaction(volumes: VolumeTable, o, d, tmin, surface: Hit,
         x = jnp.minimum(exit_, best_t)
         valid = bhit & (e < x)
 
-        u = rng.uniform_each(rng.fold_each(keys, v + 1))
+        if isinstance(keys, rng.LaneRng):
+            u = rng.draw_uniform(keys, rng.STREAM_VOLUME, salt=v + 1)
+        else:
+            u = rng.uniform_each(rng.fold_each(keys, v + 1))
         # log(u) with u in [0,1): guard u=0 (log -> -inf is harmless but
         # keep it finite).
         flight = volumes.neg_inv_density[v] * jnp.log(jnp.maximum(u, 1e-38))

@@ -77,11 +77,12 @@ class _PoolState(NamedTuple):
     attn0: jax.Array       # f32[P,3] first-hit attenuation
     to_refl: jax.Array     # bool[P]
     to_refr: jax.Array     # bool[P]
-    # Accumulators (sums, like integrator.accumulate_samples).
-    acc: SampleBuffers
+    # Enabled accumulators only (sums, [n_pixels + 1, 3] with one overflow
+    # row for masked scatter-adds); see make_pool.
+    acc: dict
 
 
-def _spawn(scene: Scene, cam, key, config: RenderConfig, pixel_ids,
+def _spawn(scene: Scene, cam, seed, config: RenderConfig, pixel_ids,
            sample_offset, n_beauty, work_id):
     """Decode work item -> fresh lane state (bounce 0, camera ray).
 
@@ -99,36 +100,13 @@ def _spawn(scene: Scene, cam, key, config: RenderConfig, pixel_ids,
     # loop (~200x slower); pixel ids are < 2^24 so f32 is exact.
     pix = pixel_ids.astype(jnp.float32)[li].astype(jnp.int32)
 
-    # Lane key stream: fold_in(fold_in(key, sample), pixel) — identical to
-    # integrator.render_sample's sample_ids path.
-    pkey = jax.vmap(
-        lambda s, p: jax.random.fold_in(jax.random.fold_in(key, s), p)
-    )(samp, pix)
-    k_ray = rng.split_each(pkey, 6)[0]
-    o, d = camera_mod.generate_rays(cam, k_ray, pix, config.width)
-    return li, pix, samp, is_spec, o, d, pkey
-
-
-def _select_keys(mask, a, b):
-    """jnp.where over u32 key arrays, routed through f32 bitcasts.
-
-    XLA:TPU lowers u32 selects to a serial scalar loop (measured ~31 ms of
-    SMEM staging per select at 262k lanes); select itself is bit-transparent
-    so bitcasting to f32 puts it on the VPU with identical results.
-    """
-    fa = jax.lax.bitcast_convert_type(a, jnp.float32)
-    fb = jax.lax.bitcast_convert_type(b, jnp.float32)
-    out = jnp.where(mask, fa, fb)
-    return jax.lax.bitcast_convert_type(out, a.dtype)
-
-
-def _lane_keys(key, samp, pix):
-    """Recompute the per-lane key stream (cheap threefry; avoids carrying
-    six key arrays through the loop state)."""
-    pkey = jax.vmap(
-        lambda s, p: jax.random.fold_in(jax.random.fold_in(key, s), p)
-    )(samp, pix)
-    return rng.split_each(pkey, 6)
+    # Camera draws always use ctx (bounce 0, beauty): the spec-pass path of
+    # a (pixel, sample) re-traces the *same* camera ray as its beauty path
+    # (camera.hpp:455,492), exactly like integrator.render_sample.
+    lr0 = rng.LaneRng(seed, pix.astype(jnp.uint32), samp.astype(jnp.uint32),
+                      jnp.uint32(0))
+    o, d = camera_mod.generate_rays(cam, lr0, pix, config.width)
+    return li, pix, samp, is_spec, o, d
 
 
 def _morton_spread_u32(x):
@@ -189,14 +167,13 @@ def _coherence_order(origin, direction, live):
     )
 
 
-def render_pool(scene: Scene, cam: camera_mod.Camera, env, key,
-                config: RenderConfig, pixel_ids, sample_offset=0,
-                pool_lanes: int | None = None) -> SampleBuffers:
-    """Pooled-wavefront accumulation: drop-in for accumulate_samples.
+def make_pool(scene: Scene, cam: camera_mod.Camera, env, key,
+              config: RenderConfig, pixel_ids, sample_offset=0,
+              pool_lanes: int | None = None):
+    """Build the pooled-wavefront loop: returns (state0, cond, body).
 
-    Returns per-pixel *sums* over `config.samples_per_pixel` samples, same
-    contract (and same per-sample values) as integrator.accumulate_samples.
-    Requires the non-differentiable path (uses while_loop + scatter-add).
+    Exposed separately from render_pool so profiling harnesses can time a
+    single `body` step under jit without running the full while_loop.
     """
     n = pixel_ids.shape[0]
     spp = config.samples_per_pixel
@@ -206,14 +183,28 @@ def render_pool(scene: Scene, cam: camera_mod.Camera, env, key,
     total_work = n_beauty * (2 if want_spec else 1)
     p = pool_lanes or min(total_work, POOL_LANES)
     sample_offset = jnp.asarray(sample_offset, jnp.int32)
+    seed = rng.seed_from_key(key)
 
-    zeros3 = jnp.zeros((n, 3), jnp.float32)
-    acc0 = SampleBuffers(zeros3, zeros3, zeros3, zeros3, zeros3, zeros3)
+    # Accumulators: only the config-enabled buffers ride the loop carry
+    # (each unused carried buffer costs a [n,3] HBM<->VMEM copy pair per
+    # step — measured 2x10.5 ms each at 800x450 on v5e), and each is
+    # pre-padded with one overflow row so masked scatter-adds need no
+    # per-step concatenate/slice copies.
+    acc_fields = ["beauty"]
+    if config.use_albedo:
+        acc_fields.append("albedo")
+    if config.use_normal:
+        acc_fields.append("normal")
+    if config.use_z_depth:
+        acc_fields.append("z_depth")
+    if want_spec:
+        acc_fields += ["reflection", "refraction"]
+    acc0 = {f: jnp.zeros((n + 1, 3), jnp.float32) for f in acc_fields}
 
     # --- initial fill: work items [0, p) ---
     w0 = jnp.arange(p, dtype=jnp.int32)
-    li, pix, samp, is_spec, o, d, _ = _spawn(
-        scene, cam, key, config, pixel_ids, sample_offset, n_beauty, w0
+    li, pix, samp, is_spec, o, d = _spawn(
+        scene, cam, seed, config, pixel_ids, sample_offset, n_beauty, w0
     )
     f = jnp.zeros((p,), bool)
     state = _PoolState(
@@ -231,40 +222,32 @@ def render_pool(scene: Scene, cam: camera_mod.Camera, env, key,
     )
 
     def scatter_add(buf, mask, slot, val):
-        """buf[n,3] += val where mask (masked lanes land in an overflow row)."""
+        """buf[n+1,3] += val where mask (masked lanes hit the overflow row)."""
         tgt = jnp.where(mask, slot, n)
         contrib = jnp.where(mask[:, None], val, 0.0)
-        return (
-            jnp.concatenate([buf, jnp.zeros((1, 3), buf.dtype)], axis=0)
-            .at[tgt].add(contrib)[:n]
-        )
+        return buf.at[tgt].add(contrib)
 
     def cond(s: _PoolState):
         return jnp.any(s.live)
 
     def body(s: _PoolState):
         at0 = s.bounce == 0
-        keys6 = _lane_keys(key, s.samp, s.pix)
-        _, k_first, k_path, k_spec, k_spec_path, k_vol0 = keys6
-        # Continuation keys: fold the trace-local bounce index (bounce - 1)
-        # into the path stream, exactly as integrator.trace does.
-        cont_stream = _select_keys(s.is_spec[:, None], k_spec_path, k_path)
-        bk = rng.fold_each(cont_stream, jnp.maximum(s.bounce - 1, 0))
-        k_sc_c, k_rr, k_vol_c = rng.split_each(bk, 3)
-        k_scatter = _select_keys(
-            at0[:, None], _select_keys(s.is_spec[:, None], k_spec, k_first),
-            k_sc_c,
+        # Per-lane stateless stream at this lane's (bounce, pass) context —
+        # identical draws to integrator.render_sample/trace by construction.
+        lr = rng.LaneRng(
+            seed, s.pix.astype(jnp.uint32), s.samp.astype(jnp.uint32),
+            (s.bounce.astype(jnp.uint32) << jnp.uint32(1))
+            | s.is_spec.astype(jnp.uint32),
         )
-        k_vol = _select_keys(at0[:, None], k_vol0, k_vol_c)
 
         hit = intersect.intersect(scene, s.origin, s.direction, T_MIN)
         rec = intersect.make_record(scene, s.origin, s.direction, hit)
         if scene.volumes is not None:
             rec = volumes_mod.apply_to_record(
-                scene.volumes, s.origin, s.direction, hit, rec, k_vol
+                scene.volumes, s.origin, s.direction, hit, rec, lr
             )
         bg = env_mod.background_color(env, s.direction, config.env_mode)
-        sc = shade.scatter(scene, rec, s.direction, k_scatter)
+        sc = shade.scatter(scene, rec, s.direction, lr)
 
         # --- radiance / path-state update (trace body semantics) ---
         # Spec paths skip first-hit emission: their trace starts *after* the
@@ -290,7 +273,7 @@ def render_pool(scene: Scene, cam: camera_mod.Camera, env, key,
         weak = late & (vecmath.length(throughput) < WEAK_RAY_EPS)
         active = active & ~weak
         p_rr = jnp.clip(jnp.max(throughput, axis=-1), RR_P_MIN, RR_P_MAX)
-        u = rng.uniform_each(k_rr)
+        u = rng.draw_uniform(lr, rng.STREAM_RR)
         active = active & ~(late & (u > p_rr))
         throughput = jnp.where(
             (late & active)[:, None], throughput / p_rr[:, None], throughput
@@ -319,43 +302,39 @@ def render_pool(scene: Scene, cam: camera_mod.Camera, env, key,
         active = active & ~(spec0 & ~(to_refl | to_refr))
 
         # --- AOV contributions from beauty camera segments ---
-        acc = s.acc
+        acc = dict(s.acc)
         cam0 = at0 & ~s.is_spec & s.live
         is_aux = cam0 & (s.samp < aux)
         if config.use_albedo:
             albedo = jnp.where(rec.hit[:, None], shade.get_albedo(scene, rec), 0.0)
-            acc = acc._replace(albedo=scatter_add(acc.albedo, is_aux, s.li, albedo))
+            acc["albedo"] = scatter_add(acc["albedo"], is_aux, s.li, albedo)
         if config.use_normal:
             normal = jnp.where(
                 rec.hit[:, None],
                 camera_mod.view_space_normal_color(cam, rec.normal),
                 jnp.asarray([0.5, 0.5, 1.0]),
             )
-            acc = acc._replace(normal=scatter_add(acc.normal, is_aux, s.li, normal))
+            acc["normal"] = scatter_add(acc["normal"], is_aux, s.li, normal)
         if config.use_z_depth:
             zval = 1.0 - jnp.clip(rec.t / config.z_depth_max_dist, 0.0, 1.0)
             z = jnp.where(rec.hit[:, None], zval[:, None], 0.0) * jnp.ones((1, 3))
-            acc = acc._replace(z_depth=scatter_add(acc.z_depth, is_aux, s.li, z))
+            acc["z_depth"] = scatter_add(acc["z_depth"], is_aux, s.li, z)
 
         # --- finished paths -> accumulators ---
         done = s.live & ~active
         done_beauty = done & ~s.is_spec
-        acc = acc._replace(
-            beauty=scatter_add(acc.beauty, done_beauty, s.li, radiance)
-        )
+        acc["beauty"] = scatter_add(acc["beauty"], done_beauty, s.li, radiance)
         if want_spec:
             # Firefly clamp on the continuation color, then modulate by the
             # stored first-hit attenuation (camera.hpp:499-509).
             luma = 0.2126 * vecmath.length(radiance)
             scale = jnp.where(luma > 2.0, 2.0 / jnp.maximum(luma, 1e-12), 1.0)
             contrib = attn0 * (radiance * scale[:, None])
-            acc = acc._replace(
-                reflection=scatter_add(
-                    acc.reflection, done & to_refl, s.li, contrib
-                ),
-                refraction=scatter_add(
-                    acc.refraction, done & to_refr, s.li, contrib
-                ),
+            acc["reflection"] = scatter_add(
+                acc["reflection"], done & to_refl, s.li, contrib
+            )
+            acc["refraction"] = scatter_add(
+                acc["refraction"], done & to_refr, s.li, contrib
             )
 
         # --- respawn finished/idle lanes with fresh work ---
@@ -368,8 +347,8 @@ def render_pool(scene: Scene, cam: camera_mod.Camera, env, key,
             jnp.sum(free.astype(jnp.int32)),
             total_work - s.next_work,
         )
-        sli, spix, ssamp, sspec, so, sd, _ = _spawn(
-            scene, cam, key, config, pixel_ids, sample_offset, n_beauty,
+        sli, spix, ssamp, sspec, so, sd = _spawn(
+            scene, cam, seed, config, pixel_ids, sample_offset, n_beauty,
             jnp.clip(new_w, 0, total_work - 1),
         )
         sel = lambda fresh, old: jnp.where(
@@ -420,5 +399,27 @@ def render_pool(scene: Scene, cam: camera_mod.Camera, env, key,
             to_refl=packed[:, 6] > 0.5, to_refr=packed[:, 7] > 0.5,
         )
 
+    return state, cond, body
+
+
+def render_pool(scene: Scene, cam: camera_mod.Camera, env, key,
+                config: RenderConfig, pixel_ids, sample_offset=0,
+                pool_lanes: int | None = None) -> SampleBuffers:
+    """Pooled-wavefront accumulation: drop-in for accumulate_samples.
+
+    Returns per-pixel *sums* over `config.samples_per_pixel` samples, same
+    contract (and same per-sample values) as integrator.accumulate_samples.
+    Requires the non-differentiable path (uses while_loop + scatter-add).
+    """
+    state, cond, body = make_pool(
+        scene, cam, env, key, config, pixel_ids, sample_offset, pool_lanes
+    )
     final = jax.lax.while_loop(cond, body, state)
-    return final.acc
+    n = pixel_ids.shape[0]
+    zeros3 = jnp.zeros((n, 3), jnp.float32)
+    get = lambda f: final.acc[f][:n] if f in final.acc else zeros3
+    return SampleBuffers(
+        beauty=get("beauty"), albedo=get("albedo"), normal=get("normal"),
+        z_depth=get("z_depth"), reflection=get("reflection"),
+        refraction=get("refraction"),
+    )

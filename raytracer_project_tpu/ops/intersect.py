@@ -131,8 +131,12 @@ RAY_FEATURE_DIM = 16
 
 
 # Primitive-column padding granularity for the coefficient tables: the
-# Pallas kernel consumes 256-wide chunks, the XLA scan 128-wide.
+# union-cull Pallas kernel consumes 256-wide chunks, the XLA scan 128-wide.
 MM_PAD = 256
+# Fine chunk granularity: the binned-pair intersector's work unit and the
+# granularity at which chunk AABBs are stored (the 256-wide kernel derives
+# its coarser bounds by unioning groups of MM_PAD/MM_FINE rows).
+MM_FINE = 128
 
 
 class MMTables(NamedTuple):
@@ -147,21 +151,30 @@ class MMTables(NamedTuple):
     columns are all-zero, which decodes as always-invalid candidates
     (det == 0 / radius-free c == 0).
 
-    sphere_bounds/tri_bounds hold one conservative AABB per MM_PAD-wide
-    coefficient chunk ([min xyz, max xyz]); the Pallas kernel skips whole
-    chunks a coherent ray block cannot reach. Padding chunks carry an empty
-    (inverted) AABB, so they are culled for free. Tight chunk bounds rely on
-    SceneBuilder's Morton ordering of the primitive tables.
+    sphere_coeff_t/tri_coeff_t are the same coefficients re-blocked for the
+    binned-pair kernel: [n_chunks, G*MM_FINE, 16] — one chunk's whole
+    coefficient block is a static leading-index slice, pre-transposed so the
+    kernel's matmul is a plain [G*FINE, 16] @ [16, B] with pairs on lanes.
+
+    sphere_bounds/tri_bounds hold one conservative AABB per MM_FINE-wide
+    coefficient chunk ([min xyz, max xyz]); the binned intersector assigns
+    (ray, chunk) pairs by exact per-ray slab tests against them, and the
+    union-cull kernel skips whole chunks a ray block cannot reach. Padding
+    chunks carry an empty (inverted) AABB, so they never produce pairs.
+    Tight chunk bounds rely on SceneBuilder's Morton ordering of the
+    primitive tables.
     """
 
-    sphere_coeff: Any   # f32[16, 2, Cs_pad]  outputs (h, c)
-    tri_coeff: Any      # f32[16, 4, Ct_pad]  outputs (det, u_num, v_num, t_num)
-    sphere_bounds: Any  # f32[Cs_pad/MM_PAD, 6]  per-chunk AABB (min, max)
-    tri_bounds: Any     # f32[Ct_pad/MM_PAD, 6]
+    sphere_coeff: Any    # f32[16, 2, Cs_pad]  outputs (h, c)
+    tri_coeff: Any       # f32[16, 4, Ct_pad]  outputs (det, u_num, v_num, t_num)
+    sphere_coeff_t: Any  # f32[Cs_pad/MM_FINE, 2*MM_FINE, 16]
+    tri_coeff_t: Any     # f32[Ct_pad/MM_FINE, 4*MM_FINE, 16]
+    sphere_bounds: Any   # f32[Cs_pad/MM_FINE, 6]  per-chunk AABB (min, max)
+    tri_bounds: Any      # f32[Ct_pad/MM_FINE, 6]
 
 
-def _chunk_bounds(pmin, pmax, n_chunks):
-    """Per-MM_PAD-chunk AABB union of primitive AABBs (host-side numpy).
+def _chunk_bounds(pmin, pmax, n_chunks, width=MM_FINE):
+    """Per-chunk AABB union of primitive AABBs (host-side numpy).
 
     pmin/pmax [C, 3]; rows may be empty (min > max) and padding chunks stay
     inverted-infinite so the kernel's overlap test rejects them outright."""
@@ -171,13 +184,27 @@ def _chunk_bounds(pmin, pmax, n_chunks):
     out[:, 0:3] = np.inf
     out[:, 3:6] = -np.inf
     c = pmin.shape[0]
-    for k in range(min(n_chunks, -(-c // MM_PAD))):
-        lo, hi = k * MM_PAD, min((k + 1) * MM_PAD, c)
+    for k in range(min(n_chunks, -(-c // width))):
+        lo, hi = k * width, min((k + 1) * width, c)
         sel = pmin[lo:hi, 0] <= pmax[lo:hi, 0]
         if sel.any():
             out[k, 0:3] = pmin[lo:hi][sel].min(0)
             out[k, 3:6] = pmax[lo:hi][sel].max(0)
     return out
+
+
+def _reblock_coeff_t(coeff):
+    """[16, G, C_pad] -> [C_pad/MM_FINE, G*MM_FINE, 16] chunk-major blocks
+    for the binned kernel (host-side numpy)."""
+    import numpy as np
+
+    f, g, c_pad = coeff.shape
+    nc = c_pad // MM_FINE
+    # [16, G, nc, FINE] -> [nc, G, FINE, 16] -> [nc, G*FINE, 16]
+    return np.ascontiguousarray(
+        coeff.reshape(f, g, nc, MM_FINE).transpose(2, 1, 3, 0)
+        .reshape(nc, g * MM_FINE, f)
+    )
 
 
 def build_mm_tables(spheres, triangles) -> MMTables:
@@ -247,8 +274,10 @@ def build_mm_tables(spheres, triangles) -> MMTables:
 
     return MMTables(
         sphere_coeff=sc, tri_coeff=tc,
-        sphere_bounds=_chunk_bounds(smin, smax, cs_pad // MM_PAD),
-        tri_bounds=_chunk_bounds(tmin_, tmax_, ct_pad // MM_PAD),
+        sphere_coeff_t=_reblock_coeff_t(sc),
+        tri_coeff_t=_reblock_coeff_t(tc),
+        sphere_bounds=_chunk_bounds(smin, smax, cs_pad // MM_FINE),
+        tri_bounds=_chunk_bounds(tmin_, tmax_, ct_pad // MM_FINE),
     )
 
 

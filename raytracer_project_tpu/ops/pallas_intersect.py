@@ -37,11 +37,26 @@ from ..core.constants import T_MAX
 from ..models.geometry import PRIM_SPHERE, PRIM_TRIANGLE
 from .intersect import (
     Hit,
+    MM_FINE,
+    MM_PAD,
     RAY_FEATURE_DIM,
     ray_features,
     sphere_candidate_t_mm,
     triangle_candidate_t_mm,
 )
+
+
+def _coarsen_bounds(fine):
+    """Union MM_FINE-granularity chunk AABBs into MM_PAD-wide ones.
+
+    fine f32[Cf, 6] with inverted-infinite empty rows; groups of
+    MM_PAD/MM_FINE rows union into one row (all-empty groups stay empty).
+    Operates on constants, so XLA folds it away at compile time.
+    """
+    g = MM_PAD // MM_FINE
+    nc = fine.shape[0] // g
+    r = jnp.asarray(fine).reshape(nc, g, 6)
+    return jnp.concatenate([r[:, :, :3].min(1), r[:, :, 3:].max(1)], axis=1)
 
 # Rays per grid program.
 BLOCK_RAYS = 512
@@ -273,19 +288,18 @@ def intersect_brute_pallas(scene, o, d, tmin, *, interpret: bool = False,
     the sort cost does not.
     """
     tmin = jnp.asarray(tmin, jnp.float32).reshape(())
+    sbounds = _coarsen_bounds(scene.mm.sphere_bounds)
+    tbounds = _coarsen_bounds(scene.mm.tri_bounds)
     order = None
     if sort_rays:
-        bounds = jnp.concatenate(
-            [jnp.asarray(scene.mm.sphere_bounds),
-             jnp.asarray(scene.mm.tri_bounds)], axis=0,
-        )
+        bounds = jnp.concatenate([sbounds, tbounds], axis=0)
         chunk_key, octant, n_major = _sort_key(o, d, bounds)
         order, dest = _radix_order(octant, chunk_key, n_major)
         o, d = o[order], d[order]
     feats = ray_features(o, d)
     t, idx, ptype = _closest_hit_call(
         feats, scene.mm.sphere_coeff, scene.mm.tri_coeff,
-        scene.mm.sphere_bounds, scene.mm.tri_bounds, tmin,
+        sbounds, tbounds, tmin,
         n_spheres=scene.spheres.count, n_tris=scene.triangles.count,
         interpret=interpret,
     )

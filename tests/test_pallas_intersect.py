@@ -90,7 +90,7 @@ def test_chunk_bounds_cover_primitives():
     """Every primitive's AABB is inside its chunk AABB (cull soundness)."""
     scene = _scene()
     mm = scene.mm
-    from raytracer_project_tpu.ops.intersect import MM_PAD
+    from raytracer_project_tpu.ops.intersect import MM_FINE
 
     c = np.asarray(scene.spheres.center)
     r = np.asarray(scene.spheres.radius)
@@ -98,7 +98,7 @@ def test_chunk_bounds_cover_primitives():
     for i in range(len(r)):
         if r[i] <= 0:
             continue
-        k = i // MM_PAD
+        k = i // MM_FINE
         assert (c[i] - r[i] >= sb[k, 0:3] - 1e-4).all()
         assert (c[i] + r[i] <= sb[k, 3:6] + 1e-4).all()
 
@@ -109,6 +109,27 @@ def test_chunk_bounds_cover_primitives():
     lo = np.minimum(np.minimum(v0, v1), v2)
     hi = np.maximum(np.maximum(v0, v1), v2)
     for i in range(len(v0)):
-        k = i // MM_PAD
+        k = i // MM_FINE
         assert (lo[i] >= tb[k, 0:3] - 1e-4).all()
         assert (hi[i] <= tb[k, 3:6] + 1e-4).all()
+
+
+def test_binned_matches_oracle():
+    """Binned-pair intersector == brute-force oracle (interpret mode)."""
+    from raytracer_project_tpu.ops import pallas_binned
+    from raytracer_project_tpu.ops.intersect import intersect_brute_mm
+
+    scene = _scene()
+    o, d = _rays(scene)
+    ref = intersect_brute_mm(scene, o, d, 1e-3)
+    got = pallas_binned.intersect_brute_binned(
+        scene, o, d, 1e-3, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
+    hit = np.asarray(ref.hit)
+    np.testing.assert_array_equal(np.asarray(got.prim_idx)[hit],
+                                  np.asarray(ref.prim_idx)[hit])
+    np.testing.assert_array_equal(np.asarray(got.prim_type)[hit],
+                                  np.asarray(ref.prim_type)[hit])
+    np.testing.assert_allclose(np.asarray(got.t)[hit],
+                               np.asarray(ref.t)[hit], rtol=1e-6)

@@ -131,5 +131,7 @@ def test_binned_matches_oracle():
                                   np.asarray(ref.prim_idx)[hit])
     np.testing.assert_array_equal(np.asarray(got.prim_type)[hit],
                                   np.asarray(ref.prim_type)[hit])
+    # The transposed matmul accumulates the same dot products in a
+    # different order, so t agrees only to f32 summation noise.
     np.testing.assert_allclose(np.asarray(got.t)[hit],
-                               np.asarray(ref.t)[hit], rtol=1e-6)
+                               np.asarray(ref.t)[hit], rtol=1e-4)

@@ -32,6 +32,12 @@ class TextureBank(NamedTuple):
 
     K = number of textures, (AH, AW) = atlas pad size.
       data            f32[K, AH, AW, 3]  image texels (linear RGB)
+      grad            f32[K, AH, AW, 2]  per-texel channel-0 neighbor deltas
+                      (h[j,(i+1)%w]-h[j,i], h[min(j+1,h-1),i]-h[j,i]) — lets
+                      the bump shader's three nearest-neighbor taps
+                      (material.hpp:40-48) collapse into ONE gather: with
+                      nearest sampling, h(u+du)-h(u) is either 0 (same
+                      texel) or exactly the precomputed neighbor delta.
       size            i32[K, 2]          actual (width, height)
       kind            i32[K]             KIND_* tag
       checker_inv_scale f32[K]
@@ -40,6 +46,7 @@ class TextureBank(NamedTuple):
     """
 
     data: jax.Array
+    grad: jax.Array
     size: jax.Array
     kind: jax.Array
     checker_inv_scale: jax.Array
@@ -90,6 +97,41 @@ def sample(bank: TextureBank, tex_id, u, v, p, default):
     return jnp.where(tex_id[..., None] < 0, default, color)
 
 
+def sample_bump_deltas(bank: TextureBank, tex_id, u, v, delta):
+    """Finite-difference bump taps (h(u+delta,v)-h(u,v), h(u,v+delta)-h(u,v))
+    with ONE texel gather.
+
+    Bit-identical to three nearest-neighbor `sample` taps of channel 0
+    (material.hpp:40-48 semantics) as long as delta spans at most one texel
+    (delta * max(w, h) <= 1, true for the reference's 1/1024 step on its
+    256-px bump maps): the difference is zero when the offset tap lands in
+    the same texel and exactly the precomputed neighbor delta when it
+    crosses (u wraps, v clamps — baked into TextureBank.grad).
+    Returns (f_u [N], f_v [N]); zero where tex_id < 0.
+    """
+    tid = jnp.maximum(tex_id, 0)
+    meta = jnp.concatenate(
+        [bank.size.astype(jnp.float32),
+         jnp.zeros((bank.count, 0), jnp.float32)], axis=1,
+    )[tid]
+    w = meta[:, 0].astype(jnp.int32)
+    h = meta[:, 1].astype(jnp.int32)
+
+    uu = u - jnp.floor(u)
+    i = jnp.clip((uu * w).astype(jnp.int32), 0, jnp.maximum(w - 1, 0))
+    j = jnp.clip((v * h).astype(jnp.int32), 0, jnp.maximum(h - 1, 0))
+    g = bank.grad[tid, j, i]                      # [N, 2]
+
+    u2 = u + delta
+    uu2 = u2 - jnp.floor(u2)
+    i2 = jnp.clip((uu2 * w).astype(jnp.int32), 0, jnp.maximum(w - 1, 0))
+    j2 = jnp.clip(((v + delta) * h).astype(jnp.int32), 0,
+                  jnp.maximum(h - 1, 0))
+    f_u = jnp.where((i2 != i) & (tex_id >= 0), g[:, 0], 0.0)
+    f_v = jnp.where((j2 != j) & (tex_id >= 0), g[:, 1], 0.0)
+    return f_u, f_v
+
+
 class TextureBankBuilder:
     """Host-side accumulation of textures; `pack()` pads into the atlas."""
 
@@ -129,15 +171,19 @@ class TextureBankBuilder:
         aw = max([1] + [im.shape[1] for im in images if im is not None])
         k = len(kinds)
         data = np.zeros((k, ah, aw, 3), np.float32)
+        grad = np.zeros((k, ah, aw, 2), np.float32)
         size = np.ones((k, 2), np.int32)
         for t, im in enumerate(images):
             if im is not None:
                 h, w = im.shape[:2]
                 data[t, :h, :w] = im
                 size[t] = (w, h)
-
+                hh = im[:, :, 0]
+                grad[t, :h, :w, 0] = np.roll(hh, -1, axis=1) - hh  # u wraps
+                grad[t, :h - 1, :w, 1] = hh[1:] - hh[:-1]          # v clamps
         return TextureBank(
             data=data,
+            grad=grad,
             size=size,
             kind=np.asarray(kinds, np.int32),
             checker_inv_scale=np.asarray([c[0] for c in checker], np.float32),

@@ -58,14 +58,18 @@ class Scatter(NamedTuple):
 
 
 def bumped_normal(scene: Scene, rec: HitRecord, bump_id, strength):
-    """Tangent-space heightfield bump (material.hpp:35-54): sample the bump
-    map at (u,v), (u+du,v), (u,v+dv); N' = normalize(N - f_u*T - f_v*B)."""
-    black = jnp.zeros_like(rec.p)
-    h_c = tex_mod.sample(scene.textures, bump_id, rec.u, rec.v, rec.p, black)[:, 0]
-    h_u = tex_mod.sample(scene.textures, bump_id, rec.u + _BUMP_DELTA, rec.v, rec.p, black)[:, 0]
-    h_v = tex_mod.sample(scene.textures, bump_id, rec.u, rec.v + _BUMP_DELTA, rec.p, black)[:, 0]
-    f_u = (h_u - h_c) * strength
-    f_v = (h_v - h_c) * strength
+    """Tangent-space heightfield bump (material.hpp:35-54): finite-difference
+    taps at (u,v)/(u+du,v)/(u,v+dv); N' = normalize(N - f_u*T - f_v*B).
+
+    The three nearest-neighbor height taps collapse into one precomputed
+    neighbor-delta gather (see textures.sample_bump_deltas) — same values,
+    a third of the texture traffic.
+    """
+    du, dv = tex_mod.sample_bump_deltas(
+        scene.textures, bump_id, rec.u, rec.v, _BUMP_DELTA
+    )
+    f_u = du * strength
+    f_v = dv * strength
     has_bump = bump_id >= 0
     n = rec.normal - f_u[:, None] * rec.tangent - f_v[:, None] * rec.bitangent
     n = vecmath.normalize(n)

@@ -147,3 +147,32 @@ def test_bump_mapping_perturbs_normal(key):
     # Perturbed away from the geometric normal but still unit length.
     assert np.linalg.norm(np.asarray(bumped[0]) - np.asarray(rec.normal[0])) > 1e-3
     assert np.isclose(np.linalg.norm(np.asarray(bumped[0])), 1.0, atol=1e-5)
+
+
+def test_bump_deltas_match_three_taps():
+    """sample_bump_deltas == three nearest-neighbor height taps, bit-exact
+    (wrap in u, clamp in v, multiple sizes, negative ids)."""
+    import numpy as np
+    from raytracer_project_tpu.models import textures as tex
+
+    nprng = np.random.default_rng(0)
+    b = tex.TextureBankBuilder()
+    b.add_image(nprng.random((256, 256, 3)).astype(np.float32))
+    b.add_image(nprng.random((64, 128, 3)).astype(np.float32))
+    bank = b.pack()
+
+    n = 5000
+    u = jnp.asarray(nprng.random(n).astype(np.float32) * 2 - 0.5)
+    v = jnp.asarray(nprng.random(n).astype(np.float32) * 1.4 - 0.2)
+    tid = jnp.asarray(nprng.integers(-1, 2, n).astype(np.int32))
+    p = jnp.zeros((n, 3), jnp.float32)
+    delta = 1.0 / 1024.0
+    black = jnp.zeros((n, 3))
+    h_c = tex.sample(bank, tid, u, v, p, black)[:, 0]
+    h_u = tex.sample(bank, tid, u + delta, v, p, black)[:, 0]
+    h_v = tex.sample(bank, tid, u, v + delta, p, black)[:, 0]
+    ref_fu = np.where(np.asarray(tid) >= 0, np.asarray(h_u - h_c), 0)
+    ref_fv = np.where(np.asarray(tid) >= 0, np.asarray(h_v - h_c), 0)
+    fu, fv = tex.sample_bump_deltas(bank, tid, u, v, delta)
+    np.testing.assert_array_equal(np.asarray(fu), ref_fu)
+    np.testing.assert_array_equal(np.asarray(fv), ref_fv)

@@ -130,9 +130,11 @@ def triangle_candidate_t(v0, e1, e2, o, d, tmin, tmax):
 RAY_FEATURE_DIM = 16
 
 
-# Primitive-column padding granularity for the coefficient tables: the
-# union-cull Pallas kernel consumes 256-wide chunks, the XLA scan 128-wide.
-MM_PAD = 256
+# Primitive-column padding granularity for the coefficient tables — must
+# equal the union-cull Pallas kernel's chunk width (pallas_intersect.
+# CHUNK_PRIMS) so every table splits into whole chunks; the XLA scan uses
+# 128-wide sub-slices of the same tables.
+MM_PAD = 512
 # Fine chunk granularity: the binned-pair intersector's work unit and the
 # granularity at which chunk AABBs are stored (the 256-wide kernel derives
 # its coarser bounds by unioning groups of MM_PAD/MM_FINE rows).

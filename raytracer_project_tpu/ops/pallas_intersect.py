@@ -38,7 +38,6 @@ from ..models.geometry import PRIM_SPHERE, PRIM_TRIANGLE
 from .intersect import (
     Hit,
     MM_FINE,
-    MM_PAD,
     RAY_FEATURE_DIM,
     ray_features,
     sphere_candidate_t_mm,
@@ -47,22 +46,26 @@ from .intersect import (
 
 
 def _coarsen_bounds(fine):
-    """Union MM_FINE-granularity chunk AABBs into MM_PAD-wide ones.
+    """Union MM_FINE-granularity chunk AABBs into CHUNK_PRIMS-wide ones.
 
     fine f32[Cf, 6] with inverted-infinite empty rows; groups of
-    MM_PAD/MM_FINE rows union into one row (all-empty groups stay empty).
-    Operates on constants, so XLA folds it away at compile time.
+    CHUNK_PRIMS/MM_FINE rows union into one row (all-empty groups stay
+    empty). Operates on constants, so XLA folds it away at compile time.
     """
-    g = MM_PAD // MM_FINE
+    g = CHUNK_PRIMS // MM_FINE
     nc = fine.shape[0] // g
     r = jnp.asarray(fine).reshape(nc, g, 6)
     return jnp.concatenate([r[:, :, :3].min(1), r[:, :, 3:].max(1)], axis=1)
 
 # Rays per grid program.
 BLOCK_RAYS = 512
-# Primitive columns per inner-loop chunk (== intersect.MM_PAD so the chunk
-# AABBs in MMTables line up one-to-one).
-CHUNK_PRIMS = 256
+# Primitive columns per inner-loop chunk. Bigger chunks amortize the
+# per-invocation cost of the in-kernel dot (~3 us each, far above its FLOP
+# time at K=16) against a coarser cull; 512 measured best on v5e
+# (74.9 -> 66.7 ms at 358k tiled-primary rays vs 256). Must be a multiple
+# of intersect.MM_FINE (chunk AABBs are unioned up from that granularity)
+# and keep BLOCK_RAYS * 4 * CHUNK_PRIMS * ~6 f32 temporaries inside VMEM.
+CHUNK_PRIMS = 512
 
 
 def _closest_hit_kernel(tmin_ref, feats_ref, scoeff_ref, tcoeff_ref,
@@ -128,7 +131,16 @@ def _closest_hit_kernel(tmin_ref, feats_ref, scoeff_ref, tcoeff_ref,
                 )
                 t = jnp.where(rows < n_rows, t, T_MAX)
                 cmin = jnp.min(t, axis=1)
-                carg = jnp.argmin(t, axis=1).astype(jnp.int32)
+                # min-of-masked-iota argmin: one compare + one min pass,
+                # ~5 ms faster than lax.argmin's lowering at this shape
+                # (same first-minimal-index semantics).
+                rowf = jax.lax.broadcasted_iota(
+                    jnp.int32, t.shape, 1
+                ).astype(jnp.float32)
+                carg = jnp.min(
+                    jnp.where(t == cmin[:, None], rowf, float(CHUNK_PRIMS)),
+                    axis=1,
+                ).astype(jnp.int32)
                 better = cmin < best_t
                 best_t = jnp.where(better, cmin, best_t)
                 best_idx = jnp.where(better, ci * CHUNK_PRIMS + carg, best_idx)

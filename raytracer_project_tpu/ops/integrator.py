@@ -399,6 +399,10 @@ def render(scene: Scene, cam: camera_mod.Camera, env, key,
 
     Returns dict of [H, W, 3] averaged buffers.
     """
-    pixel_ids = jnp.arange(config.n_pixels, dtype=jnp.int32)
+    # numpy (not traced) so downstream code can prove the ids are the
+    # identity at trace time and skip per-spawn pixel gathers.
+    import numpy as np
+
+    pixel_ids = np.arange(config.n_pixels, dtype=np.int32)
     acc = accumulate_samples(scene, cam, env, key, config, pixel_ids)
     return finalize_buffers(acc, config)

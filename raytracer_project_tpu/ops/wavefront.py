@@ -77,8 +77,8 @@ class _PoolState(NamedTuple):
     attn0: jax.Array       # f32[P,3] first-hit attenuation
     to_refl: jax.Array     # bool[P]
     to_refr: jax.Array     # bool[P]
-    # Enabled accumulators only (sums, component-major [3, n_pixels + 1]
-    # with one overflow column for masked scatter-adds); see make_pool.
+    # Enabled accumulators only (sums, [n_pixels + 1, 3] with one overflow
+    # row for masked scatter-adds); see make_pool.
     acc: dict
 
 
@@ -202,9 +202,7 @@ def make_pool(scene: Scene, cam: camera_mod.Camera, env, key,
     # (each unused carried buffer costs a [n,3] HBM<->VMEM copy pair per
     # step — measured 2x10.5 ms each at 800x450 on v5e), and each is
     # pre-padded with one overflow row so masked scatter-adds need no
-    # per-step concatenate/slice copies. Component-major [3, n+1]: XLA
-    # assigns the row-major carry a {0,1} layout whose scatter-add costs
-    # 10.5 ms/step; with pixels on the minor axis it runs at ~0.1 ms.
+    # per-step concatenate/slice copies.
     acc_fields = ["beauty"]
     if config.use_albedo:
         acc_fields.append("albedo")
@@ -214,10 +212,7 @@ def make_pool(scene: Scene, cam: camera_mod.Camera, env, key,
         acc_fields.append("z_depth")
     if want_spec:
         acc_fields += ["reflection", "refraction"]
-    # 8 rows (one full f32 sublane tile): narrower carries tile T(4,128)
-    # with dead sublanes and their per-step HBM<->VMEM copies run ~25x
-    # slower (measured 10.5 ms vs sub-ms for 4.3 MB).
-    acc0 = {f: jnp.zeros((8, n + 1), jnp.float32) for f in acc_fields}
+    acc0 = {f: jnp.zeros((n + 1, 3), jnp.float32) for f in acc_fields}
 
     # --- initial fill: work items [0, p) ---
     w0 = jnp.arange(p, dtype=jnp.int32)
@@ -241,11 +236,10 @@ def make_pool(scene: Scene, cam: camera_mod.Camera, env, key,
     )
 
     def scatter_add(buf, mask, slot, val):
-        """buf[8,n+1] rows 0:3 += val.T where mask (masked lanes hit the
-        overflow column; rows 3:8 are tile padding)."""
+        """buf[n+1,3] += val where mask (masked lanes hit the overflow row)."""
         tgt = jnp.where(mask, slot, n)
         contrib = jnp.where(mask[:, None], val, 0.0)
-        return buf.at[:3, tgt].add(contrib.T)
+        return buf.at[tgt].add(contrib)
 
     def cond(s: _PoolState):
         return jnp.any(s.live)
@@ -440,7 +434,7 @@ def render_pool(scene: Scene, cam: camera_mod.Camera, env, key,
     final = jax.lax.while_loop(cond, body, state)
     n = pixel_ids.shape[0]
     zeros3 = jnp.zeros((n, 3), jnp.float32)
-    get = lambda f: final.acc[f][:3, :n].T if f in final.acc else zeros3
+    get = lambda f: final.acc[f][:n] if f in final.acc else zeros3
     return SampleBuffers(
         beauty=get("beauty"), albedo=get("albedo"), normal=get("normal"),
         z_depth=get("z_depth"), reflection=get("reflection"),

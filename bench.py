@@ -2,25 +2,64 @@
 """Benchmark driver: renders the showcase scene on the available accelerator
 and reports throughput as one JSON line.
 
-Metric: rays/s computed as width*height*spp*max_depth / wall_time — the same
-upper-bound estimator the reference engine displays in its UI
+Headline metric: rays/s computed as width*height*spp*max_depth / wall_time —
+the same upper-bound estimator the reference engine displays in its UI
 (/root/reference/main.cpp:101-113) — so numbers are comparable in kind.
+`detail.rays_per_s_measured` additionally reports *actual* traced path
+segments / wall_time from the pooled wavefront's on-device counter
+(ops/wavefront.py), which the reference cannot measure.
 `vs_baseline` is value / 1e9, the BASELINE.md north-star target
 (>1e9 rays/s on a v5e-16; this runs on however many chips are visible).
+
+Before timing anything, a smoke gate (raytracer_project_tpu/utils/smoke.py)
+runs in a SUBPROCESS under a hard timeout: a hung or faulting device kernel
+cannot be interrupted in-process, so the watchdog sits one process up. A
+smoke failure makes the bench exit nonzero fast with the failure reason
+instead of wedging for the driver's full timeout.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-import jax
-
 NORTH_STAR_RAYS_PER_S = 1.0e9
+SMOKE_TIMEOUT_S = int(os.environ.get("BENCH_SMOKE_TIMEOUT", 420))
+
+
+def run_smoke_gate() -> None:
+    """Run the on-device smoke in a subprocess; exit nonzero on any failure."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "raytracer_project_tpu.utils.smoke"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=SMOKE_TIMEOUT_S,
+        )
+    except subprocess.TimeoutExpired:
+        print(json.dumps({
+            "metric": "rays_per_second_showcase", "value": 0.0,
+            "unit": "rays/s", "vs_baseline": 0.0,
+            "error": f"smoke gate timed out after {SMOKE_TIMEOUT_S}s "
+                     "(device hang)",
+        }))
+        sys.exit(1)
+    if proc.returncode != 0:
+        print(json.dumps({
+            "metric": "rays_per_second_showcase", "value": 0.0,
+            "unit": "rays/s", "vs_baseline": 0.0,
+            "error": "smoke gate failed",
+            "stderr": proc.stderr[-2000:],
+        }))
+        sys.exit(1)
+    print(f"# {proc.stdout.strip()}", file=sys.stderr)
 
 
 def main():
-    import jax.numpy as jnp
+    if not os.environ.get("BENCH_SKIP_SMOKE"):
+        run_smoke_gate()
+
+    import jax
 
     from raytracer_project_tpu.models import camera as cam_mod
     from raytracer_project_tpu.models import environment as env_mod
@@ -50,19 +89,38 @@ def main():
                                    sun_intensity=6.0)
     key = jax.random.PRNGKey(0)
 
-    render = jax.jit(integrator.render, static_argnames="config")
+    render = jax.jit(integrator.render,
+                     static_argnames=("config", "with_stats"))
 
     # Warmup / compile.
-    out = render(scene, cam, env, key, cfg)
+    out, stats = render(scene, cam, env, key, cfg, with_stats=True)
     jax.block_until_ready(out)
 
     t0 = time.perf_counter()
-    out = render(scene, cam, env, jax.random.PRNGKey(1), cfg)
+    out, stats = render(scene, cam, env, jax.random.PRNGKey(1), cfg,
+                        with_stats=True)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
     rays = width * height * spp * max_depth
     rays_per_s = rays / dt
+    segments = (float(stats["segments"])
+                if stats.get("segments") is not None else None)
+
+    # Which closest-hit backend actually serves the hot path (mirrors the
+    # dispatch in ops/intersect.py:intersect) — "bvh": true alone was
+    # misleading when the prim count sat below the traversal crossover.
+    from raytracer_project_tpu.ops import intersect as isect_mod
+    if (scene.bvh is not None
+            and scene.primitive_count >= isect_mod.BVH_MIN_PRIMS):
+        hot_path = "bvh_traversal"
+    elif scene.mm is not None and jax.default_backend() == "tpu":
+        hot_path = "pallas_chunk_cull"
+    elif scene.mm is not None:
+        hot_path = "mxu_matmul_scan"
+    else:
+        hot_path = "brute_scan"
+
     print(json.dumps({
         "metric": "rays_per_second_showcase",
         "value": rays_per_s,
@@ -73,7 +131,12 @@ def main():
             "max_depth": max_depth, "wall_s": dt,
             "primitives": int(scene.primitive_count),
             "devices": [str(d) for d in jax.devices()],
-            "bvh": scene.bvh is not None,
+            "intersector": hot_path,
+            "rays_per_s_upper_bound": rays_per_s,
+            "rays_per_s_measured": (segments / dt) if segments else None,
+            "segments_traced": segments,
+            "pool_steps": (int(stats["steps"])
+                           if stats.get("steps") is not None else None),
         },
     }))
 

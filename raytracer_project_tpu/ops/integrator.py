@@ -323,7 +323,7 @@ _TARGET_LANES = 400_000
 
 def accumulate_samples(scene: Scene, cam: camera_mod.Camera, env, key,
                        config: RenderConfig, pixel_ids,
-                       sample_offset=0) -> SampleBuffers:
+                       sample_offset=0, with_stats: bool = False):
     """Sum `samples_per_pixel` sample passes for the given pixels.
 
     Samples are fused into wavefront batches of (pixel, sample) lanes —
@@ -331,13 +331,17 @@ def accumulate_samples(scene: Scene, cam: camera_mod.Camera, env, key,
     *batch*, not once per sample. Returns *sums* (not averages) so
     progressive sessions and sharded renders keep accumulating; lane keys
     are (key, sample, pixel)-derived, so any chunking is bit-identical.
+
+    with_stats (static): also return a stats dict. The pooled wavefront
+    reports measured path segments ({"segments", "steps"}); the chunked
+    path has no on-device counter, so it reports {"segments": None}.
     """
     if config.wavefront and not config.differentiable:
         from . import wavefront
 
         return wavefront.render_pool(
             scene, cam, env, key, config, pixel_ids, sample_offset,
-            pool_lanes=config.pool_lanes,
+            pool_lanes=config.pool_lanes, with_stats=with_stats,
         )
     spp = config.samples_per_pixel
     aux = min(config.aux_samples, spp)
@@ -372,8 +376,12 @@ def accumulate_samples(scene: Scene, cam: camera_mod.Camera, env, key,
     zeros = jnp.zeros((n, 3), jnp.float32)
     init = SampleBuffers(zeros, zeros, zeros, zeros, zeros, zeros)
     if n_chunks == 1:
-        return chunk(jnp.asarray(0, jnp.int32), init)
-    return jax.lax.fori_loop(0, n_chunks, chunk, init)
+        out = chunk(jnp.asarray(0, jnp.int32), init)
+    else:
+        out = jax.lax.fori_loop(0, n_chunks, chunk, init)
+    if with_stats:
+        return out, {"segments": None, "steps": n_chunks}
+    return out
 
 
 def finalize_buffers(acc: SampleBuffers, config: RenderConfig,
@@ -394,15 +402,21 @@ def finalize_buffers(acc: SampleBuffers, config: RenderConfig,
 
 
 def render(scene: Scene, cam: camera_mod.Camera, env, key,
-           config: RenderConfig) -> dict:
+           config: RenderConfig, with_stats: bool = False):
     """Full single-device render: spp passes accumulated on device.
 
-    Returns dict of [H, W, 3] averaged buffers.
+    Returns dict of [H, W, 3] averaged buffers; with_stats (static) also
+    returns the accumulate_samples stats dict (measured segment counts on
+    the pooled-wavefront path).
     """
     # numpy (not traced) so downstream code can prove the ids are the
     # identity at trace time and skip per-spawn pixel gathers.
     import numpy as np
 
     pixel_ids = np.arange(config.n_pixels, dtype=np.int32)
+    if with_stats:
+        acc, stats = accumulate_samples(scene, cam, env, key, config,
+                                        pixel_ids, with_stats=True)
+        return finalize_buffers(acc, config), stats
     acc = accumulate_samples(scene, cam, env, key, config, pixel_ids)
     return finalize_buffers(acc, config)

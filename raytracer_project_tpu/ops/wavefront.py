@@ -80,6 +80,13 @@ class _PoolState(NamedTuple):
     # Enabled accumulators only (sums, [n_pixels + 1, 3] with one overflow
     # row for masked scatter-adds); see make_pool.
     acc: dict
+    # Measured work: path segments actually traced (sum of live lanes per
+    # step; f32 — bit-exact to 2^24 per-step increments, ~1e-7 relative
+    # beyond, fine for a throughput metric) and loop steps taken. This is
+    # the *actual* count the reference's UI estimator approximates from
+    # above (main.cpp:101-113).
+    segments: jax.Array    # f32 []
+    steps: jax.Array       # i32 []
 
 
 def _spawn(scene: Scene, cam, seed, config: RenderConfig, pixel_ids,
@@ -233,6 +240,8 @@ def make_pool(scene: Scene, cam: camera_mod.Camera, env, key,
         attn0=jnp.ones((p, 3), jnp.float32),
         to_refl=f, to_refr=f,
         acc=acc0,
+        segments=jnp.zeros((), jnp.float32),
+        steps=jnp.zeros((), jnp.int32),
     )
 
     def scatter_add(buf, mask, slot, val):
@@ -387,6 +396,8 @@ def make_pool(scene: Scene, cam: camera_mod.Camera, env, key,
             to_refl=sel(f, to_refl),
             to_refr=sel(f, to_refr),
             acc=acc,
+            segments=s.segments + jnp.sum(s.live.astype(jnp.float32)),
+            steps=s.steps + 1,
         )
         if not config.sort_lanes:
             return ns
@@ -421,12 +432,17 @@ def make_pool(scene: Scene, cam: camera_mod.Camera, env, key,
 
 def render_pool(scene: Scene, cam: camera_mod.Camera, env, key,
                 config: RenderConfig, pixel_ids, sample_offset=0,
-                pool_lanes: int | None = None) -> SampleBuffers:
+                pool_lanes: int | None = None, with_stats: bool = False):
     """Pooled-wavefront accumulation: drop-in for accumulate_samples.
 
     Returns per-pixel *sums* over `config.samples_per_pixel` samples, same
     contract (and same per-sample values) as integrator.accumulate_samples.
     Requires the non-differentiable path (uses while_loop + scatter-add).
+
+    with_stats: also return {"segments", "steps"} — the measured number of
+    path segments traced (the quantity the reference UI's
+    W·H·spp·max_depth/Δt metric upper-bounds, main.cpp:101-113) and the
+    number of pool steps taken.
     """
     state, cond, body = make_pool(
         scene, cam, env, key, config, pixel_ids, sample_offset, pool_lanes
@@ -435,8 +451,11 @@ def render_pool(scene: Scene, cam: camera_mod.Camera, env, key,
     n = pixel_ids.shape[0]
     zeros3 = jnp.zeros((n, 3), jnp.float32)
     get = lambda f: final.acc[f][:n] if f in final.acc else zeros3
-    return SampleBuffers(
+    out = SampleBuffers(
         beauty=get("beauty"), albedo=get("albedo"), normal=get("normal"),
         z_depth=get("z_depth"), reflection=get("reflection"),
         refraction=get("refraction"),
     )
+    if with_stats:
+        return out, {"segments": final.segments, "steps": final.steps}
+    return out

@@ -2,9 +2,11 @@
 
 TPU-native equivalent of the reference's AppLog (/root/reference/main.cpp:51-177):
 timestamped ring log with tag-based severity ([Error]/[Config]/[Render]/
-[System]/[Debug]), a frame-time ring with FPS, and a rays/s throughput
-metric — here computed from *actual* traced sample counts rather than the
-reference's upper-bound estimate (main.cpp:96-113).
+[System]/[Debug]), a frame-time ring with FPS, and two rays/s throughput
+metrics: rays_per_second() reproduces the reference's W·H·spp·max_depth/Δt
+upper-bound *estimator* (main.cpp:96-113); measured_rays_per_second() turns
+the pooled wavefront's actual traced-segment counter (ops/wavefront.py
+stats) into a true throughput number.
 """
 
 from __future__ import annotations
@@ -77,7 +79,16 @@ class AppLog:
 def rays_per_second(width: int, height: int, samples: int, max_depth: int,
                     elapsed_s: float) -> float:
     """The reference's throughput estimator (main.cpp:101-113):
-    W*H*samples*max_depth / dt — an upper bound on traced rays."""
+    W*H*samples*max_depth / dt — an upper bound on traced rays (paths
+    terminate well before max_depth on average)."""
     if elapsed_s <= 0:
         return 0.0
     return width * height * samples * max_depth / elapsed_s
+
+
+def measured_rays_per_second(segments: float, elapsed_s: float) -> float:
+    """True throughput from the pooled wavefront's traced-segment counter
+    (ops/wavefront.py `with_stats`): actually-traced rays / dt."""
+    if elapsed_s <= 0:
+        return 0.0
+    return float(segments) / elapsed_s

@@ -80,7 +80,7 @@ class RenderSession:
         self._chunk_cfg = dataclasses.replace(config, samples_per_pixel=chunk_samples)
         self._step_fn = jax.jit(
             integrator.accumulate_samples,
-            static_argnames=("config",),
+            static_argnames=("config", "with_stats"),
         )
         self.cancel_requested = False
         self._start_time: float | None = None
@@ -96,6 +96,7 @@ class RenderSession:
         zeros = jnp.zeros((n, 3), jnp.float32)
         self.acc = integrator.SampleBuffers(*([zeros] * 6))
         self.samples_done = 0
+        self.segments_traced = 0.0
         self.cancel_requested = False
         self._start_time = None
 
@@ -108,18 +109,27 @@ class RenderSession:
             self._start_time = time.perf_counter()
         ids = jnp.arange(self.config.n_pixels, dtype=jnp.int32)
         t0 = time.perf_counter()
-        delta = self._step_fn(self.scene, self.camera, self.env, self.key,
-                              cfg, ids, self.samples_done)
+        delta, stats = self._step_fn(self.scene, self.camera, self.env,
+                                     self.key, cfg, ids, self.samples_done,
+                                     with_stats=True)
         self.acc = jax.tree.map(jnp.add, self.acc, delta)
         jax.block_until_ready(self.acc)
         dt = time.perf_counter() - t0
         self.samples_done += n_samples
         self.log.tick_frame()
-        self.log.debug("chunk %d samples in %.2fs (%.1f Mrays/s)",
-                       n_samples, dt,
-                       applog.rays_per_second(self.config.width,
-                                              self.config.height, n_samples,
-                                              self.config.max_depth, dt) / 1e6)
+        bound = applog.rays_per_second(self.config.width, self.config.height,
+                                       n_samples, self.config.max_depth, dt)
+        if stats.get("segments") is not None:
+            # Pooled wavefront: the carry counts actually-traced segments.
+            self.segments_traced += float(stats["segments"])
+            measured = applog.measured_rays_per_second(
+                float(stats["segments"]), dt)
+            self.log.debug(
+                "chunk %d samples in %.2fs (%.1f Mrays/s measured, "
+                "%.1f bound)", n_samples, dt, measured / 1e6, bound / 1e6)
+        else:
+            self.log.debug("chunk %d samples in %.2fs (%.1f Mrays/s bound)",
+                           n_samples, dt, bound / 1e6)
         return self.samples_done
 
     def render_progressive(self, total_samples: int,

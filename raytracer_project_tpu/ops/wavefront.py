@@ -77,8 +77,13 @@ class _PoolState(NamedTuple):
     attn0: jax.Array       # f32[P,3] first-hit attenuation
     to_refl: jax.Array     # bool[P]
     to_refr: jax.Array     # bool[P]
-    # Enabled accumulators only (sums, [n_pixels + 1, 3] with one overflow
-    # row for masked scatter-adds); see make_pool.
+    # Enabled accumulators only (sums), stored as THREE 1-D [n_pixels + 1]
+    # channel arrays per buffer (keys "beauty.x" etc.) with one overflow
+    # slot for masked scatter-adds; see make_pool. 1-D because XLA's layout
+    # assignment gives a [n+1, 3] while-carry a transposed {0,1:T(4,128)}
+    # layout whose scatter-add runs ~500x slower (measured 10.5 ms vs
+    # 0.02 ms per step at 262k lanes on v5e); a 1-D carry has exactly one
+    # possible layout, so the fast scatter emitter always applies.
     acc: dict
     # Measured work: path segments actually traced (sum of live lanes per
     # step; f32 — bit-exact to 2^24 per-step increments, ~1e-7 relative
@@ -219,7 +224,8 @@ def make_pool(scene: Scene, cam: camera_mod.Camera, env, key,
         acc_fields.append("z_depth")
     if want_spec:
         acc_fields += ["reflection", "refraction"]
-    acc0 = {f: jnp.zeros((n + 1, 3), jnp.float32) for f in acc_fields}
+    acc0 = {f"{f}.{c}": jnp.zeros((n + 1,), jnp.float32)
+            for f in acc_fields for c in "xyz"}
 
     # --- initial fill: work items [0, p) ---
     w0 = jnp.arange(p, dtype=jnp.int32)
@@ -244,11 +250,15 @@ def make_pool(scene: Scene, cam: camera_mod.Camera, env, key,
         steps=jnp.zeros((), jnp.int32),
     )
 
-    def scatter_add(buf, mask, slot, val):
-        """buf[n+1,3] += val where mask (masked lanes hit the overflow row)."""
+    def scatter_add(acc, name, mask, slot, val):
+        """acc[name.{xyz}][n+1] += val[:, c] where mask (masked lanes hit
+        the overflow slot); mutates the dict in place, returns it."""
         tgt = jnp.where(mask, slot, n)
-        contrib = jnp.where(mask[:, None], val, 0.0)
-        return buf.at[tgt].add(contrib)
+        for ci, c in enumerate("xyz"):
+            acc[f"{name}.{c}"] = acc[f"{name}.{c}"].at[tgt].add(
+                jnp.where(mask, val[:, ci], 0.0)
+            )
+        return acc
 
     def cond(s: _PoolState):
         return jnp.any(s.live)
@@ -333,35 +343,31 @@ def make_pool(scene: Scene, cam: camera_mod.Camera, env, key,
         is_aux = cam0 & (s.samp < aux)
         if config.use_albedo:
             albedo = jnp.where(rec.hit[:, None], shade.get_albedo(scene, rec), 0.0)
-            acc["albedo"] = scatter_add(acc["albedo"], is_aux, s.li, albedo)
+            acc = scatter_add(acc, "albedo", is_aux, s.li, albedo)
         if config.use_normal:
             normal = jnp.where(
                 rec.hit[:, None],
                 camera_mod.view_space_normal_color(cam, rec.normal),
                 jnp.asarray([0.5, 0.5, 1.0]),
             )
-            acc["normal"] = scatter_add(acc["normal"], is_aux, s.li, normal)
+            acc = scatter_add(acc, "normal", is_aux, s.li, normal)
         if config.use_z_depth:
             zval = 1.0 - jnp.clip(rec.t / config.z_depth_max_dist, 0.0, 1.0)
             z = jnp.where(rec.hit[:, None], zval[:, None], 0.0) * jnp.ones((1, 3))
-            acc["z_depth"] = scatter_add(acc["z_depth"], is_aux, s.li, z)
+            acc = scatter_add(acc, "z_depth", is_aux, s.li, z)
 
         # --- finished paths -> accumulators ---
         done = s.live & ~active
         done_beauty = done & ~s.is_spec
-        acc["beauty"] = scatter_add(acc["beauty"], done_beauty, s.li, radiance)
+        acc = scatter_add(acc, "beauty", done_beauty, s.li, radiance)
         if want_spec:
             # Firefly clamp on the continuation color, then modulate by the
             # stored first-hit attenuation (camera.hpp:499-509).
             luma = 0.2126 * vecmath.length(radiance)
             scale = jnp.where(luma > 2.0, 2.0 / jnp.maximum(luma, 1e-12), 1.0)
             contrib = attn0 * (radiance * scale[:, None])
-            acc["reflection"] = scatter_add(
-                acc["reflection"], done & to_refl, s.li, contrib
-            )
-            acc["refraction"] = scatter_add(
-                acc["refraction"], done & to_refr, s.li, contrib
-            )
+            acc = scatter_add(acc, "reflection", done & to_refl, s.li, contrib)
+            acc = scatter_add(acc, "refraction", done & to_refr, s.li, contrib)
 
         # --- respawn finished/idle lanes with fresh work ---
         free = ~s.live | done
@@ -450,7 +456,10 @@ def render_pool(scene: Scene, cam: camera_mod.Camera, env, key,
     final = jax.lax.while_loop(cond, body, state)
     n = pixel_ids.shape[0]
     zeros3 = jnp.zeros((n, 3), jnp.float32)
-    get = lambda f: final.acc[f][:n] if f in final.acc else zeros3
+    get = lambda f: (
+        jnp.stack([final.acc[f"{f}.{c}"][:n] for c in "xyz"], axis=-1)
+        if f"{f}.x" in final.acc else zeros3
+    )
     out = SampleBuffers(
         beauty=get("beauty"), albedo=get("albedo"), normal=get("normal"),
         z_depth=get("z_depth"), reflection=get("reflection"),

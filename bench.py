@@ -92,15 +92,22 @@ def main():
     render = jax.jit(integrator.render,
                      static_argnames=("config", "with_stats"))
 
-    # Warmup / compile.
-    out, stats = render(scene, cam, env, key, cfg, with_stats=True)
-    jax.block_until_ready(out)
+    import numpy as np
 
-    t0 = time.perf_counter()
-    out, stats = render(scene, cam, env, jax.random.PRNGKey(1), cfg,
-                        with_stats=True)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    # Warmup / compile. np.asarray forces a host fetch: on the tunneled
+    # axon backend block_until_ready can return before the dispatch has
+    # even reached the device (observed 1 ms "waits" on 8 s renders), so
+    # wall-clock timing must close the loop through a materialized result.
+    out, stats = render(scene, cam, env, key, cfg, with_stats=True)
+    np.asarray(out["beauty"])
+
+    dt = float("inf")
+    for rep in (1, 2):
+        t0 = time.perf_counter()
+        out, stats = render(scene, cam, env, jax.random.PRNGKey(rep), cfg,
+                            with_stats=True)
+        np.asarray(out["beauty"])
+        dt = min(dt, time.perf_counter() - t0)
 
     rays = width * height * spp * max_depth
     rays_per_s = rays / dt

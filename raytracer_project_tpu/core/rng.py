@@ -18,6 +18,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 # ---------------------------------------------------------------------------
@@ -43,8 +44,11 @@ import jax.numpy as jnp
 # like the threefry scheme it replaces (the *law* of each sampler is
 # unchanged; individual draws differ).
 
-_PCG_MULT = jnp.uint32(747796405)  # pcg constants (Jarzynski-Olano eq. 4)
-_PCG_INC = jnp.uint32(2891336453)
+# numpy scalars on purpose: module-level jnp scalars are device constants
+# whose embedding costs a device->host fetch per lowering (~34 s over a
+# tunneled TPU).
+_PCG_MULT = np.uint32(747796405)  # pcg constants (Jarzynski-Olano eq. 4)
+_PCG_INC = np.uint32(2891336453)
 
 # Draw-site stream ids (static; must stay < _N_STREAMS).
 STREAM_CAMERA = 0

@@ -6,14 +6,17 @@ triangle.hpp) and its transform wrappers (translate.hpp, rotate_x/y/z.hpp,
 scale.hpp, material_instance.hpp).
 
 Design decisions (TPU-first):
- * Exactly two device-side primitive types: SPHERE and TRIANGLE. Boxes
-   (cube.hpp) compile to 12 triangles at build time, carrying the
-   reference's per-face UVs and tangent frames (cube.hpp:100-142).
+ * Three device-side primitive types: SPHERE, TRIANGLE, and BOX. A box is
+   stored as the world->local affine of a canonical [-1,1]^3 cube and hit
+   with the reference's local-frame slab test (cube.hpp:44-86) — one
+   20-op slab epilogue per (ray, box) instead of 12 Moller-Trumbore
+   triangles (>400 ops), which shrinks the showcase scene's hot primitive
+   table ~10x. Per-face UVs/normals/tangents follow cube.hpp:100-142.
  * Transform wrappers do not exist on device: affine transforms are *baked*
-   into primitive data at build time. Triangles are closed under any affine
-   map; spheres appear only with rigid + uniform-scale transforms in the
-   reference scenes (scene_management.hpp:153-201), so center/radius baking
-   is exact.
+   into primitive data at build time. Boxes absorb ANY affine exactly (the
+   inverse rides along); triangles are closed under affine maps; spheres
+   appear only with rigid + uniform-scale transforms in the reference
+   scenes (scene_management.hpp:153-201), so center/radius baking is exact.
  * material_instance (zero-copy instancing) becomes "instantiate with a
    different mat id" — rows are cheap, no pointers needed.
 
@@ -36,6 +39,7 @@ import numpy as np
 # Primitive type tags (used by BVH leaves; prim id = [type, row]).
 PRIM_SPHERE = 0
 PRIM_TRIANGLE = 1
+PRIM_BOX = 2
 
 
 class SphereTable(NamedTuple):
@@ -48,6 +52,37 @@ class SphereTable(NamedTuple):
     @property
     def count(self) -> int:
         return self.radius.shape[0]
+
+
+class BoxTable(NamedTuple):
+    """B boxes as world->local affines of the canonical [-1,1]^3 cube.
+
+    x_local = minv (3x3, row-flattened) @ x_world + trans. The local cube is
+    EXACTLY [-1,1]^3 — per-box corners/half-extents are folded into the
+    affine at build time — so the slab test and the per-face UV maps
+    (cube.hpp:44-86, 100-142) need no extra per-box data.
+
+    Normals and face tangents both transform by the inverse-transpose, which
+    here is just minv's rows: world_normal(face k) = +-normalize(minv[k, :]).
+    (Tangents strictly transform by the forward map, but after
+    normalization inverse-transpose and forward agree for the
+    rotation+scale transforms the reference scenes use — and the
+    triangle-tessellation path used inverse-transpose too, so the two box
+    representations shade identically.)
+
+    aabb_min/max cache the world-space AABB of the transformed cube (8
+    corner hull): used by the BVH builder and the MXU chunk-cull bounds.
+    """
+
+    minv: jax.Array      # f32[B,9]  world->local linear part, row-major
+    trans: jax.Array     # f32[B,3]  world->local translation
+    aabb_min: jax.Array  # f32[B,3]
+    aabb_max: jax.Array  # f32[B,3]
+    mat: jax.Array       # i32[B]
+
+    @property
+    def count(self) -> int:
+        return self.mat.shape[0]
 
 
 class TriangleTable(NamedTuple):
@@ -198,6 +233,10 @@ class GeometryBuilder:
         self._sph_radius: list[float] = []
         self._sph_mat: list[int] = []
         self._tri_chunks: list[dict[str, np.ndarray]] = []
+        self._box_minv: list[np.ndarray] = []
+        self._box_trans: list[np.ndarray] = []
+        self._box_aabb: list[tuple[np.ndarray, np.ndarray]] = []
+        self._box_mat: list[int] = []
 
     # -- spheres ------------------------------------------------------------
 
@@ -264,7 +303,37 @@ class GeometryBuilder:
             uv0=uv0, uv1=uv1, uv2=uv2, tangent=tangent, mat=mats,
         ))
 
-    def add_box(self, min_corner, max_corner, mat_id, transform=None):
+    def add_box(self, min_corner, max_corner, mat_id, transform=None,
+                tessellate: bool = False):
+        """Box primitive (cube.hpp:11-32): native affine-slab box by default;
+        tessellate=True emits the legacy 12-triangle representation instead
+        (kept as a cross-check oracle — both shade identically)."""
+        if tessellate:
+            return self.add_box_triangles(min_corner, max_corner, mat_id,
+                                          transform=transform)
+        mn = np.asarray(min_corner, np.float64)
+        mx = np.asarray(max_corner, np.float64)
+        center = 0.5 * (mn + mx)
+        he = np.maximum(0.5 * (mx - mn), 1e-12)
+
+        # local [-1,1]^3 -> world: A = transform . translate(center) . scale(he)
+        a = compose(translate(center), scale(he))
+        if transform is not None:
+            a = compose(np.asarray(transform, np.float64), a)
+        lin = a[:3, :3]
+        minv = np.linalg.inv(lin)
+        trans = -minv @ a[:3, 3]
+
+        corners = np.array(
+            [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+            np.float64,
+        ) @ lin.T + a[:3, 3]
+        self._box_minv.append(minv.reshape(9))
+        self._box_trans.append(trans)
+        self._box_aabb.append((corners.min(0), corners.max(0)))
+        self._box_mat.append(int(mat_id))
+
+    def add_box_triangles(self, min_corner, max_corner, mat_id, transform=None):
         """Axis-aligned box -> 12 triangles with reference face UVs/tangents
         (cube.hpp:11-32,100-142)."""
         mn = np.asarray(min_corner, np.float64)
@@ -334,7 +403,7 @@ class GeometryBuilder:
         )
         return np.argsort(code, kind="stable")
 
-    def pack(self) -> tuple[SphereTable, TriangleTable]:
+    def pack(self) -> tuple[SphereTable, TriangleTable, BoxTable]:
         """Pack into *numpy*-backed tables; SceneBuilder.build does the
         single host->device conversion at the end (small mixed np/jnp host
         ops would each trigger a device compile over slow links)."""
@@ -370,6 +439,26 @@ class GeometryBuilder:
                for k, v in cat.items()}
         )
 
+        if self._box_minv:
+            box = BoxTable(
+                minv=np.stack(self._box_minv).astype(np.float32),
+                trans=np.stack(self._box_trans).astype(np.float32),
+                aabb_min=np.stack([a for a, _ in self._box_aabb]).astype(np.float32),
+                aabb_max=np.stack([b for _, b in self._box_aabb]).astype(np.float32),
+                mat=np.asarray(self._box_mat, np.int32),
+            )
+        else:
+            # Dummy box far outside every scene: the slab test's safe
+            # inverse turns the degenerate zero linear part into a
+            # guaranteed miss (|o_local| >> 1 with ~zero direction).
+            box = BoxTable(
+                minv=np.zeros((1, 9), np.float32),
+                trans=np.full((1, 3), 1e6, np.float32),
+                aabb_min=np.full((1, 3), np.inf, np.float32),
+                aabb_max=np.full((1, 3), -np.inf, np.float32),
+                mat=np.zeros((1,), np.int32),
+            )
+
         # Spatial (Morton) row order -> tight per-chunk AABBs for the
         # MXU intersector's chunk culling. Pure storage-order choice.
         sp = self.morton_order(sph.center)
@@ -377,4 +466,7 @@ class GeometryBuilder:
         centroid = tri.v0 + (tri.e1 + tri.e2) / 3.0
         tp = self.morton_order(centroid)
         tri = TriangleTable(*(np.ascontiguousarray(col[tp]) for col in tri))
-        return sph, tri
+        bp = self.morton_order((box.aabb_min + box.aabb_max) * 0.5
+                               if self._box_minv else np.zeros((1, 3)))
+        box = BoxTable(*(np.ascontiguousarray(col[bp]) for col in box))
+        return sph, tri, box

@@ -14,7 +14,7 @@ from typing import Any, NamedTuple
 import jax
 
 from .environment import Environment, make_environment
-from .geometry import GeometryBuilder, SphereTable, TriangleTable
+from .geometry import BoxTable, GeometryBuilder, SphereTable, TriangleTable
 from .materials import MaterialLibrary, MaterialTable
 from .textures import TextureBank, TextureBankBuilder
 
@@ -29,12 +29,16 @@ class Scene(NamedTuple):
     bvh: Any = None      # ops.bvh.FlatBVH once built; None = brute force
     volumes: Any = None  # ops.volumes.VolumeTable; None = no media
     mm: Any = None       # ops.intersect.MMTables (MXU matmul coefficients);
-                         # derived from spheres/triangles, dropped in
+                         # derived from the primitive tables, dropped in
                          # differentiable renders (see integrator.render)
+    boxes: BoxTable | None = None  # native affine-slab boxes (cube.hpp)
 
     @property
     def primitive_count(self) -> int:
-        return self.spheres.count + self.triangles.count
+        n = self.spheres.count + self.triangles.count
+        if self.boxes is not None:
+            n += self.boxes.count
+        return n
 
 
 class SceneBuilder:
@@ -104,17 +108,18 @@ class SceneBuilder:
         import jax
         import jax.numpy as jnp
 
-        spheres, triangles = self.geometry.pack()
+        spheres, triangles, boxes = self.geometry.pack()
         from ..ops.intersect import build_mm_tables
 
         scene = Scene(
             spheres=spheres,
             triangles=triangles,
+            boxes=boxes,
             materials=self.materials.pack(),
             textures=self.textures.pack(),
             bvh=None,
             volumes=self._pack_volumes(),
-            mm=build_mm_tables(spheres, triangles),
+            mm=build_mm_tables(spheres, triangles, boxes),
         )
         if with_bvh:
             from ..ops import bvh as bvh_mod

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.geometry import PRIM_SPHERE, PRIM_TRIANGLE
+from ..models.geometry import PRIM_BOX, PRIM_SPHERE, PRIM_TRIANGLE
 
 # AABB padding (aabb-expand delta used throughout the reference,
 # e.g. triangle.hpp:95, cube.hpp:35).
@@ -55,9 +55,11 @@ class FlatBVH:
 
     Leaf-ordered pre-gathered primitive data (single-level gathers in the
     traversal inner loop — avoids the slot->row->table double indirection):
-    slot_center  f32[P,3]  sphere center (zeros for triangles)
-    slot_radius  f32[P]    sphere radius (0 for triangles -> guaranteed miss)
-    slot_v0/e1/e2 f32[P,3] triangle data (zeros for spheres -> det 0 miss)
+    slot_center  f32[P,3]  sphere center (zeros for others)
+    slot_radius  f32[P]    sphere radius (0 for others -> guaranteed miss)
+    slot_v0/e1/e2 f32[P,3] triangle data (zeros for others -> det 0 miss)
+    slot_minv    f32[P,9]  box world->local rows (zeros for others)
+    slot_trans   f32[P,3]  box translation (1e6 for others -> miss)
 
     n_levels     int        static tree depth
     leaf_size    int        static max primitives per leaf (gather width)
@@ -76,6 +78,8 @@ class FlatBVH:
     slot_v0: jax.Array
     slot_e1: jax.Array
     slot_e2: jax.Array
+    slot_minv: jax.Array
+    slot_trans: jax.Array
     n_levels: int = flax.struct.field(pytree_node=False)
     leaf_size: int = flax.struct.field(pytree_node=False)
 
@@ -111,6 +115,17 @@ def primitive_bounds(scene) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndar
         maxs.append(np.maximum(np.maximum(p0, p1), p2) + PAD)
         types.append(np.full(keep.sum(), PRIM_TRIANGLE, np.int32))
         rows.append(np.nonzero(keep)[0].astype(np.int32))
+
+    if getattr(scene, "boxes", None) is not None:
+        box = scene.boxes
+        bmin = np.asarray(box.aabb_min)
+        bmax = np.asarray(box.aabb_max)
+        bvalid = (bmin <= bmax).all(axis=-1)  # dummy rows are inverted-inf
+        if bvalid.any():
+            mins.append(bmin[bvalid] - PAD)
+            maxs.append(bmax[bvalid] + PAD)
+            types.append(np.full(bvalid.sum(), PRIM_BOX, np.int32))
+            rows.append(np.nonzero(bvalid)[0].astype(np.int32))
 
     if not mins:
         # Degenerate empty scene: single never-hit leaf.
@@ -326,12 +341,21 @@ def build_bvh(scene, leaf_size: int = DEFAULT_LEAF_SIZE, mode: str = "sah",
     slot_v0 = np.zeros((p, 3), np.float32)
     slot_e1 = np.zeros((p, 3), np.float32)
     slot_e2 = np.zeros((p, 3), np.float32)
+    slot_minv = np.zeros((p, 9), np.float32)
+    slot_trans = np.full((p, 3), 1e6, np.float32)  # non-box slots never hit
     is_sph = slot_type == PRIM_SPHERE
+    is_tri = slot_type == PRIM_TRIANGLE
+    is_box = slot_type == PRIM_BOX
     slot_center[is_sph] = sph_c[slot_row[is_sph]]
     slot_radius[is_sph] = sph_r[slot_row[is_sph]]
-    slot_v0[~is_sph] = tri_v0[slot_row[~is_sph]]
-    slot_e1[~is_sph] = tri_e1[slot_row[~is_sph]]
-    slot_e2[~is_sph] = tri_e2[slot_row[~is_sph]]
+    slot_v0[is_tri] = tri_v0[slot_row[is_tri]]
+    slot_e1[is_tri] = tri_e1[slot_row[is_tri]]
+    slot_e2[is_tri] = tri_e2[slot_row[is_tri]]
+    if is_box.any():
+        box_minv = np.asarray(scene.boxes.minv)
+        box_trans = np.asarray(scene.boxes.trans)
+        slot_minv[is_box] = box_minv[slot_row[is_box]]
+        slot_trans[is_box] = box_trans[slot_row[is_box]]
 
     if native_result is not None:
         node_min = native_result["node_min"]
@@ -362,6 +386,8 @@ def build_bvh(scene, leaf_size: int = DEFAULT_LEAF_SIZE, mode: str = "sah",
         slot_v0=slot_v0,
         slot_e1=slot_e1,
         slot_e2=slot_e2,
+        slot_minv=slot_minv,
+        slot_trans=slot_trans,
         n_levels=n_levels,
         leaf_size=max(1, max(counts)),
     )

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..core import vecmath
 from ..core.constants import PI, T_MAX
-from ..models.geometry import PRIM_SPHERE, PRIM_TRIANGLE
+from ..models.geometry import PRIM_BOX, PRIM_SPHERE, PRIM_TRIANGLE
 from ..models.scene import Scene
 
 # Primitive chunk width for the brute-force scan (lane-aligned).
@@ -78,6 +78,32 @@ def sphere_candidate_t(center, radius, o, d, tmin, tmax):
     root = jnp.where(ok0, root0, root1)
     valid = (disc >= 0.0) & (ok0 | ok1) & (radius[None, :] > 0.0)
     return jnp.where(valid, root, T_MAX)
+
+
+def box_candidate_t(minv, trans, o, d, tmin, tmax):
+    """Affine-slab box test against the canonical [-1,1]^3 cube
+    (cube.hpp:44-86 in the box's local frame).
+
+    minv f32[C,9] (world->local linear part, row-major), trans f32[C,3];
+    o, d f32[N,3]; returns t f32[N,C] (T_MAX where invalid). Two-sided:
+    entering hit at slab t_near when t_near > tmin, else the exit hit
+    (matching the triangle-tessellated box, which reports the true exit
+    intersection for interior origins — see models/geometry.py docstring).
+    """
+    m = minv.reshape(-1, 3, 3)                               # [C,3,3]
+    o_l = jnp.einsum("cij,nj->nci", m, o) + trans[None]      # [N,C,3]
+    d_l = jnp.einsum("cij,nj->nci", m, d)                    # [N,C,3]
+    # Safe inverse: ~zero components get a huge positive inverse; the slab
+    # arithmetic then resolves the parallel-ray cases correctly (inside the
+    # slab -> +-huge bracket, outside -> empty interval).
+    inv = 1.0 / jnp.where(jnp.abs(d_l) < 1e-30, 1e-30, d_l)
+    t0 = (-1.0 - o_l) * inv
+    t1 = (1.0 - o_l) * inv
+    t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)           # [N,C]
+    t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    t = jnp.where(t_near > tmin[:, None], t_near, t_far)
+    valid = (t_near < t_far) & (t > tmin[:, None]) & (t < tmax[:, None])
+    return jnp.where(valid, t, T_MAX)
 
 
 def triangle_candidate_t(v0, e1, e2, o, d, tmin, tmax):
@@ -169,10 +195,12 @@ class MMTables(NamedTuple):
 
     sphere_coeff: Any    # f32[16, 2, Cs_pad]  outputs (h, c)
     tri_coeff: Any       # f32[16, 4, Ct_pad]  outputs (det, u_num, v_num, t_num)
+    box_coeff: Any       # f32[16, 6, Cb_pad]  outputs (dl xyz, ol xyz)
     sphere_coeff_t: Any  # f32[Cs_pad/MM_FINE, 2*MM_FINE, 16]
     tri_coeff_t: Any     # f32[Ct_pad/MM_FINE, 4*MM_FINE, 16]
     sphere_bounds: Any   # f32[Cs_pad/MM_FINE, 6]  per-chunk AABB (min, max)
     tri_bounds: Any      # f32[Ct_pad/MM_FINE, 6]
+    box_bounds: Any      # f32[Cb_pad/MM_FINE, 6]
 
 
 def _chunk_bounds(pmin, pmax, n_chunks, width=MM_FINE):
@@ -209,15 +237,17 @@ def _reblock_coeff_t(coeff):
     )
 
 
-def build_mm_tables(spheres, triangles) -> MMTables:
+def build_mm_tables(spheres, triangles, boxes=None) -> MMTables:
     """Assemble the coefficient matrices (host-side numpy)."""
     import numpy as np
 
     F = RAY_FEATURE_DIM
     cs = int(np.asarray(spheres.radius).shape[0])
     ct = int(np.asarray(triangles.v0).shape[0])
+    cb = int(np.asarray(boxes.mat).shape[0]) if boxes is not None else 0
     cs_pad = max(-(-cs // MM_PAD) * MM_PAD, MM_PAD)
     ct_pad = max(-(-ct // MM_PAD) * MM_PAD, MM_PAD)
+    cb_pad = max(-(-cb // MM_PAD) * MM_PAD, MM_PAD)
 
     sc = np.zeros((F, 2, cs_pad), np.float32)
     if cs:
@@ -255,6 +285,21 @@ def build_mm_tables(spheres, triangles) -> MMTables:
         tc[3:6, 3, :ct] = n_geo.T
         tc[11, 3, :ct] = -(v0 * n_geo).sum(-1)
 
+    # Box coefficients: local direction d_l = Minv d and local origin
+    # o_l = Minv o + trans are LINEAR in the ray features (d cols 0:3,
+    # o cols 3:6, const col 11), so one matmul yields all six slab inputs.
+    bc = np.zeros((F, 6, cb_pad), np.float32)
+    # Padding (and dummy-row) columns decode as guaranteed misses: o_l is a
+    # huge constant far outside [-1,1], so the slab interval is empty.
+    bc[11, 3:6, :] = 1e6
+    if cb:
+        minv = np.asarray(boxes.minv, np.float64)      # [B, 9]
+        trans = np.asarray(boxes.trans, np.float64)    # [B, 3]
+        for i in range(3):
+            bc[0:3, i, :cb] = minv[:, 3 * i:3 * i + 3].T      # d_l rows
+            bc[3:6, 3 + i, :cb] = minv[:, 3 * i:3 * i + 3].T  # o_l rows
+            bc[11, 3 + i, :cb] = trans[:, i]
+
     if cs:
         C32 = np.asarray(spheres.center, np.float32)
         r32 = np.asarray(spheres.radius, np.float32)
@@ -274,12 +319,20 @@ def build_mm_tables(spheres, triangles) -> MMTables:
         tmin_ = np.zeros((0, 3), np.float32) + np.inf
         tmax_ = np.zeros((0, 3), np.float32) - np.inf
 
+    if cb:
+        bmin = np.asarray(boxes.aabb_min, np.float32)
+        bmax = np.asarray(boxes.aabb_max, np.float32)
+    else:
+        bmin = np.zeros((0, 3), np.float32) + np.inf
+        bmax = np.zeros((0, 3), np.float32) - np.inf
+
     return MMTables(
-        sphere_coeff=sc, tri_coeff=tc,
+        sphere_coeff=sc, tri_coeff=tc, box_coeff=bc,
         sphere_coeff_t=_reblock_coeff_t(sc),
         tri_coeff_t=_reblock_coeff_t(tc),
         sphere_bounds=_chunk_bounds(smin, smax, cs_pad // MM_FINE),
         tri_bounds=_chunk_bounds(tmin_, tmax_, ct_pad // MM_FINE),
+        box_bounds=_chunk_bounds(bmin, bmax, cb_pad // MM_FINE),
     )
 
 
@@ -334,6 +387,27 @@ def triangle_candidate_t_mm(det, u_num, v_num, t_num, tmin, tmax):
         & (t > tmin[:, None])
         & (t < tmax[:, None])
     )
+    return jnp.where(valid, t, T_MAX)
+
+
+def box_candidate_t_mm(dlx, dly, dlz, olx, oly, olz, tmin, tmax):
+    """Box slab epilogue on the matmul outputs, all f32[N, C].
+
+    Same hit set as box_candidate_t (cube.hpp:44-86 semantics).
+    """
+    safe = lambda v: 1.0 / jnp.where(jnp.abs(v) < 1e-30, 1e-30, v)
+    ix, iy, iz = safe(dlx), safe(dly), safe(dlz)
+    ax0, ax1 = (-1.0 - olx) * ix, (1.0 - olx) * ix
+    ay0, ay1 = (-1.0 - oly) * iy, (1.0 - oly) * iy
+    az0, az1 = (-1.0 - olz) * iz, (1.0 - olz) * iz
+    t_near = jnp.maximum(jnp.maximum(jnp.minimum(ax0, ax1),
+                                     jnp.minimum(ay0, ay1)),
+                         jnp.minimum(az0, az1))
+    t_far = jnp.minimum(jnp.minimum(jnp.maximum(ax0, ax1),
+                                    jnp.maximum(ay0, ay1)),
+                        jnp.maximum(az0, az1))
+    t = jnp.where(t_near > tmin[:, None], t_near, t_far)
+    valid = (t_near < t_far) & (t > tmin[:, None]) & (t < tmax[:, None])
     return jnp.where(valid, t, T_MAX)
 
 
@@ -415,11 +489,22 @@ def intersect_brute_mm(scene: Scene, o, d, tmin, tmax=None) -> Hit:
             scene.triangles.count, feats, tmin, s_t, s_idx,
         )
     tri_won = t_t < s_t
+    ptype = jnp.where(tri_won, PRIM_TRIANGLE, PRIM_SPHERE).astype(jnp.int32)
+    b_t, b_idx = t_t, t_idx
+    if scene.boxes is not None and scene.boxes.count:
+        b_t, b_idx = _scan_chunks_mm(
+            mm.box_coeff,
+            box_candidate_t_mm,
+            scene.boxes.count, feats, tmin, t_t, t_idx,
+        )
+        box_won = b_t < t_t
+        ptype = jnp.where(box_won, PRIM_BOX, ptype)
+        t_idx = jnp.where(box_won, b_idx, t_idx)
     return Hit(
-        t=t_t,
-        prim_type=jnp.where(tri_won, PRIM_TRIANGLE, PRIM_SPHERE).astype(jnp.int32),
-        prim_idx=jnp.where(tri_won, t_idx, s_idx),
-        hit=t_t < T_MAX,
+        t=b_t,
+        prim_type=ptype,
+        prim_idx=t_idx,
+        hit=b_t < T_MAX,
     )
 
 
@@ -488,11 +573,22 @@ def intersect_brute(scene: Scene, o, d, tmin, tmax=None) -> Hit:
     )
     # After the second scan, best_t <= s_t; triangle wins where it improved.
     tri_won = t_t < s_t
+    ptype = jnp.where(tri_won, PRIM_TRIANGLE, PRIM_SPHERE).astype(jnp.int32)
+    b_t, b_idx = t_t, t_idx
+    if scene.boxes is not None:
+        box = scene.boxes
+        b_t, b_idx = _scan_chunks(
+            box_candidate_t, [box.minv, box.trans], box.count,
+            o, d, tmin, t_t, t_idx,
+        )
+        box_won = b_t < t_t
+        ptype = jnp.where(box_won, PRIM_BOX, ptype)
+        t_idx = jnp.where(box_won, b_idx, t_idx)
     return Hit(
-        t=t_t,
-        prim_type=jnp.where(tri_won, PRIM_TRIANGLE, PRIM_SPHERE).astype(jnp.int32),
-        prim_idx=jnp.where(tri_won, t_idx, s_idx),
-        hit=t_t < T_MAX,
+        t=b_t,
+        prim_type=ptype,
+        prim_idx=t_idx,
+        hit=b_t < T_MAX,
     )
 
 
@@ -613,6 +709,80 @@ def _triangle_record(scene: Scene, o, d, t, idx):
     return p, normal, tangent, bitangent, front, uv[:, 0], uv[:, 1], mat
 
 
+def _box_packed(scene: Scene):
+    """[B, 13]: minv (9), trans (3), mat."""
+    b = scene.boxes
+    return jnp.concatenate(
+        [b.minv, b.trans, b.mat.astype(jnp.float32)[:, None]], axis=1,
+    )
+
+
+# Per-face UV maps of the canonical [-1,1]^3 cube (cube.hpp:104-138),
+# evaluated on the local hit point l: u = dot(l, U)*0.5 + 0.5, likewise v.
+# Rows indexed by face = axis*2 + (sign>0). NUMPY on purpose: module-level
+# jnp arrays become device-resident constants that lowering must fetch
+# device->host to embed in the module — ~34 s per fetch over a tunneled
+# TPU (measured); numpy constants embed for free.
+import numpy as _np
+
+_BOX_FACE_U = _np.asarray([
+    [0., 0., 1.], [0., 0., 1.],     # MIN_X, MAX_X: u from z
+    [1., 0., 0.], [1., 0., 0.],     # MIN_Y, MAX_Y: u from x
+    [-1., 0., 0.], [1., 0., 0.],    # MIN_Z (mirrored), MAX_Z
+], _np.float32)
+_BOX_FACE_V = _np.asarray([
+    [0., 1., 0.], [0., 1., 0.],
+    [0., 0., 1.], [0., 0., 1.],
+    [0., 1., 0.], [0., 1., 0.],
+], _np.float32)
+# Local face tangents (cube.hpp:100-142 / geometry._CUBE_FACES).
+_BOX_FACE_TAN = _np.asarray([
+    [0., 0., 1.], [0., 0., -1.],
+    [1., 0., 0.], [-1., 0., 0.],
+    [-1., 0., 0.], [1., 0., 0.],
+], _np.float32)
+
+
+def _box_record(scene: Scene, o, d, t, idx):
+    """Box shading data: face normal/UV/tangent from the local hit point
+    (cube.hpp:100-142)."""
+    g = _box_packed(scene)[idx]               # one [N, 13] gather
+    m = g[:, 0:9].reshape(-1, 3, 3)           # world->local rows
+    trans = g[:, 9:12]
+    mat = g[:, 12].astype(jnp.int32)
+    p = o + t[:, None] * d
+
+    l = jnp.einsum("nij,nj->ni", m, p) + trans          # local hit ~ on cube
+    axis = jnp.argmax(jnp.abs(l), axis=-1)              # dominant face axis
+    # Everything face-dependent goes through one-hot arithmetic: integer
+    # table gathers (take_along_axis, FACE_TABLE[face]) get staged through
+    # a serial SMEM loop on TPU (~3.7 ms at 262k lanes); the one-hot dot
+    # against a [6, 3] constant is a fast vector op.
+    onehot = (jnp.arange(3)[None, :] == axis[:, None]).astype(jnp.float32)
+    sign = jnp.sign(jnp.sum(l * onehot, axis=-1))
+    pos = (sign > 0.0).astype(jnp.float32)
+    # face = axis*2 + (sign>0): columns [x-,x+,y-,y+,z-,z+].
+    onehot6 = (onehot[:, :, None]
+               * jnp.stack([1.0 - pos, pos], axis=-1)[:, None, :]
+               ).reshape(-1, 6)
+
+    # Normals/tangents transform by the inverse-transpose: +-minv row `axis`
+    # (see models/geometry.BoxTable).
+    outward = vecmath.normalize(
+        sign[:, None] * jnp.einsum("ni,nij->nj", onehot, m)
+    )
+    front = vecmath.dot(d, outward) < 0.0
+    normal = jnp.where(front[:, None], outward, -outward)
+
+    u = vecmath.dot(l, onehot6 @ _BOX_FACE_U) * 0.5 + 0.5
+    v = vecmath.dot(l, onehot6 @ _BOX_FACE_V) * 0.5 + 0.5
+
+    tan_l = onehot6 @ _BOX_FACE_TAN
+    tangent = vecmath.normalize(jnp.einsum("ni,nij->nj", tan_l, m))
+    bitangent = jnp.cross(normal, tangent)
+    return p, normal, tangent, bitangent, front, u, v, mat
+
+
 def make_record(scene: Scene, o, d, hit: Hit) -> HitRecord:
     """Gather full shading data for the closest hits (deferred shading).
 
@@ -627,14 +797,17 @@ def make_record(scene: Scene, o, d, hit: Hit) -> HitRecord:
     tp = _triangle_record(scene, o, d, t_safe, jnp.clip(idx, 0, scene.triangles.count - 1))
 
     is_tri = (hit.prim_type == PRIM_TRIANGLE)
-    sel = lambda a, b: jnp.where(
-        is_tri[:, None] if a.ndim == 2 else is_tri, b, a
-    )
-    p, normal, tangent, bitangent = (sel(sp[i], tp[i]) for i in range(4))
-    front = jnp.where(is_tri, tp[4], sp[4])
-    u = jnp.where(is_tri, tp[5], sp[5])
-    v = jnp.where(is_tri, tp[6], sp[6])
-    mat = jnp.where(is_tri, tp[7], sp[7])
+
+    def sel(mask, a, b):
+        return jnp.where(mask[:, None] if a.ndim == 2 else mask, b, a)
+
+    parts = tuple(sel(is_tri, sp[i], tp[i]) for i in range(8))
+    if scene.boxes is not None:
+        bp = _box_record(scene, o, d, t_safe,
+                         jnp.clip(idx, 0, scene.boxes.count - 1))
+        is_box = hit.prim_type == PRIM_BOX
+        parts = tuple(sel(is_box, parts[i], bp[i]) for i in range(8))
+    p, normal, tangent, bitangent, front, u, v, mat = parts
     return HitRecord(
         t=hit.t, p=p, normal=normal, tangent=tangent, bitangent=bitangent,
         front_face=front, u=u, v=v, mat=mat, hit=hit.hit,

@@ -34,11 +34,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.constants import T_MAX
-from ..models.geometry import PRIM_SPHERE, PRIM_TRIANGLE
+from ..models.geometry import PRIM_BOX, PRIM_SPHERE, PRIM_TRIANGLE
 from .intersect import (
     Hit,
     MM_FINE,
     RAY_FEATURE_DIM,
+    box_candidate_t_mm,
     ray_features,
     sphere_candidate_t_mm,
     triangle_candidate_t_mm,
@@ -69,9 +70,9 @@ CHUNK_PRIMS = 512
 
 
 def _closest_hit_kernel(tmin_ref, feats_ref, scoeff_ref, tcoeff_ref,
-                        sbounds_ref, tbounds_ref,
+                        bcoeff_ref, sbounds_ref, tbounds_ref, bbounds_ref,
                         t_ref, idx_ref, type_ref,
-                        *, n_spheres: int, n_tris: int):
+                        *, n_spheres: int, n_tris: int, n_boxes: int):
     """One ray block vs the whole scene; scene tables live in VMEM."""
     feats = feats_ref[:]                      # [B, 16]
     b = feats.shape[0]
@@ -162,15 +163,21 @@ def _closest_hit_kernel(tmin_ref, feats_ref, scoeff_ref, tcoeff_ref,
             tcoeff_ref, tbounds_ref, 4, triangle_candidate_t_mm,
             n_tris, PRIM_TRIANGLE, (best_t, best_idx, best_type),
         )
+    if n_boxes:
+        best_t, best_idx, best_type = scan_table(
+            bcoeff_ref, bbounds_ref, 6, box_candidate_t_mm,
+            n_boxes, PRIM_BOX, (best_t, best_idx, best_type),
+        )
 
     t_ref[:] = best_t[:, None]
     idx_ref[:] = best_idx[:, None]
     type_ref[:] = best_type[:, None]
 
 
-@functools.partial(jax.jit, static_argnames=("n_spheres", "n_tris", "interpret"))
-def _closest_hit_call(feats, scoeff, tcoeff, sbounds, tbounds, tmin,
-                      *, n_spheres, n_tris, interpret=False):
+@functools.partial(jax.jit, static_argnames=("n_spheres", "n_tris", "n_boxes",
+                                              "interpret"))
+def _closest_hit_call(feats, scoeff, tcoeff, bcoeff, sbounds, tbounds, bbounds,
+                      tmin, *, n_spheres, n_tris, n_boxes, interpret=False):
     n = feats.shape[0]
     n_pad = -(-n // BLOCK_RAYS) * BLOCK_RAYS
     if n_pad != n:
@@ -178,7 +185,8 @@ def _closest_hit_call(feats, scoeff, tcoeff, sbounds, tbounds, tmin,
     grid = (n_pad // BLOCK_RAYS,)
 
     kernel = functools.partial(
-        _closest_hit_kernel, n_spheres=n_spheres, n_tris=n_tris
+        _closest_hit_kernel, n_spheres=n_spheres, n_tris=n_tris,
+        n_boxes=n_boxes,
     )
     t, idx, ptype = pl.pallas_call(
         kernel,
@@ -191,9 +199,13 @@ def _closest_hit_call(feats, scoeff, tcoeff, sbounds, tbounds, tmin,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(tcoeff.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(bcoeff.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(sbounds.shape, lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(tbounds.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(bbounds.shape, lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=(
@@ -210,7 +222,8 @@ def _closest_hit_call(feats, scoeff, tcoeff, sbounds, tbounds, tmin,
             jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
         ),
         interpret=interpret,
-    )(jnp.reshape(tmin, (1, 1)), feats, scoeff, tcoeff, sbounds, tbounds)
+    )(jnp.reshape(tmin, (1, 1)), feats, scoeff, tcoeff, bcoeff,
+      sbounds, tbounds, bbounds)
     return t[:n, 0], idx[:n, 0], ptype[:n, 0]
 
 
@@ -302,17 +315,19 @@ def intersect_brute_pallas(scene, o, d, tmin, *, interpret: bool = False,
     tmin = jnp.asarray(tmin, jnp.float32).reshape(())
     sbounds = _coarsen_bounds(scene.mm.sphere_bounds)
     tbounds = _coarsen_bounds(scene.mm.tri_bounds)
+    bbounds = _coarsen_bounds(scene.mm.box_bounds)
     order = None
     if sort_rays:
-        bounds = jnp.concatenate([sbounds, tbounds], axis=0)
+        bounds = jnp.concatenate([sbounds, tbounds, bbounds], axis=0)
         chunk_key, octant, n_major = _sort_key(o, d, bounds)
         order, dest = _radix_order(octant, chunk_key, n_major)
         o, d = o[order], d[order]
     feats = ray_features(o, d)
     t, idx, ptype = _closest_hit_call(
-        feats, scene.mm.sphere_coeff, scene.mm.tri_coeff,
-        sbounds, tbounds, tmin,
+        feats, scene.mm.sphere_coeff, scene.mm.tri_coeff, scene.mm.box_coeff,
+        sbounds, tbounds, bbounds, tmin,
         n_spheres=scene.spheres.count, n_tris=scene.triangles.count,
+        n_boxes=scene.boxes.count if scene.boxes is not None else 0,
         interpret=interpret,
     )
     if order is not None:

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..core import vecmath
 from ..core.constants import T_MAX
-from ..models.geometry import PRIM_SPHERE
+from ..models.geometry import PRIM_BOX, PRIM_SPHERE
 from .intersect import Hit
 
 
@@ -69,7 +69,23 @@ def _leaf_candidates(scene, bvh, slot_ids, o, d, tmin, tmax):
               & (t_tri_raw > tmin[:, None]) & (t_tri_raw < tmax[:, None]))
     t_tri = jnp.where(tri_ok, t_tri_raw, T_MAX)
 
-    t = jnp.where(ptype == PRIM_SPHERE, t_sph, t_tri)
+    # Affine-slab box (cube.hpp:44-86; see intersect.box_candidate_t).
+    m = bvh.slot_minv[slot_ids].reshape(*slot_ids.shape, 3, 3)  # [N,K,3,3]
+    trans = bvh.slot_trans[slot_ids]                            # [N,K,3]
+    o_l = jnp.einsum("nkij,nj->nki", m, o) + trans
+    d_l = jnp.einsum("nkij,nj->nki", m, d)
+    inv = 1.0 / jnp.where(jnp.abs(d_l) < 1e-30, 1e-30, d_l)
+    b0 = (-1.0 - o_l) * inv
+    b1 = (1.0 - o_l) * inv
+    bt_near = jnp.max(jnp.minimum(b0, b1), axis=-1)
+    bt_far = jnp.min(jnp.maximum(b0, b1), axis=-1)
+    t_box_raw = jnp.where(bt_near > tmin[:, None], bt_near, bt_far)
+    box_ok = ((bt_near < bt_far) & (t_box_raw > tmin[:, None])
+              & (t_box_raw < tmax[:, None]))
+    t_box = jnp.where(box_ok, t_box_raw, T_MAX)
+
+    t = jnp.where(ptype == PRIM_SPHERE, t_sph,
+                  jnp.where(ptype == PRIM_BOX, t_box, t_tri))
     return t, ptype, prow
 
 

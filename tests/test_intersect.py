@@ -131,12 +131,13 @@ def test_record_triangle_smooth_normal():
     np.testing.assert_allclose(rec.normal[0], expected, atol=1e-4)
 
 
-def test_box_compiles_to_world_hits():
+def test_box_native_world_hits():
     b = SceneBuilder()
     mat = b.materials.lambertian("m")
     b.geometry.add_box((-1, -1, -1), (1, 1, 1), mat)
     scene = b.build(with_bvh=False)
-    assert scene.triangles.count == 12
+    assert scene.boxes.count == 1          # native affine-slab box
+    assert scene.triangles.count == 1      # dummy row only
     o = jnp.asarray([[0.0, 0.0, 5.0], [0.0, 0.0, 0.0]])
     d = jnp.asarray([[0.0, 0.0, -1.0], [1.0, 0.0, 0.0]])
     hit = intersect.intersect_brute(scene, o, d, 1e-3)
@@ -144,6 +145,53 @@ def test_box_compiles_to_world_hits():
     # unlike the reference cube's t=tmin quirk, cube.hpp:47-73).
     assert np.isclose(hit.t[0], 4.0, atol=1e-5)
     assert np.isclose(hit.t[1], 1.0, atol=1e-5)
+
+
+def test_box_native_matches_tessellated():
+    """The native affine-slab box must reproduce the 12-triangle box: same
+    hit set, same t, same shading frame (normal/UV/tangent), for random
+    rays against a rotated+scaled box."""
+    rng = np.random.default_rng(5)
+    from raytracer_project_tpu.models import geometry as geo
+
+    xform = geo.compose(
+        geo.translate((0.5, 1.0, -0.3)),
+        geo.rotate_y(37.0),
+        geo.rotate_x(12.0),
+        geo.scale((1.5, 0.7, 1.1)),
+    )
+
+    def build(tessellate):
+        b = SceneBuilder()
+        mat = b.materials.lambertian("m")
+        b.geometry.add_box((-0.4, -0.2, -0.6), (0.4, 0.2, 0.6), mat,
+                           transform=xform, tessellate=tessellate)
+        return b.build(with_bvh=False)
+
+    s_box = build(False)
+    s_tri = build(True)
+    n = 256
+    o = jnp.asarray(rng.normal(0, 3, (n, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(0, 1, (n, 3)), jnp.float32)
+    hb = intersect.intersect_brute(s_box, o, d, 1e-3)
+    ht = intersect.intersect_brute(s_tri, o, d, 1e-3)
+    # Rays through face seams may differ at float edge cases; demand > 95%
+    # agreement and exact-f32-tolerance t on the agreeing set.
+    agree = np.asarray(hb.hit) == np.asarray(ht.hit)
+    assert agree.mean() > 0.95
+    m = np.asarray(hb.hit) & np.asarray(ht.hit)
+    np.testing.assert_allclose(np.asarray(hb.t)[m], np.asarray(ht.t)[m],
+                               rtol=1e-4, atol=1e-4)
+    rb = intersect.make_record(s_box, o, d, hb)
+    rt = intersect.make_record(s_tri, o, d, ht)
+    np.testing.assert_allclose(np.asarray(rb.normal)[m],
+                               np.asarray(rt.normal)[m], atol=2e-3)
+    np.testing.assert_allclose(np.asarray(rb.u)[m], np.asarray(rt.u)[m],
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(rb.v)[m], np.asarray(rt.v)[m],
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(rb.tangent)[m],
+                               np.asarray(rt.tangent)[m], atol=2e-3)
 
 
 def test_degenerate_dummies_never_hit():

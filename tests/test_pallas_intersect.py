@@ -14,7 +14,10 @@ from raytracer_project_tpu.models.scene import SceneBuilder
 from raytracer_project_tpu.ops import intersect, pallas_intersect
 
 
-def _scene(n_grid=6):
+def _scene(n_grid=6, tessellate=False):
+    """Mixed sphere/box scene; tessellate=True keeps boxes as 12-triangle
+    fans (the parked binned-pair kernel predates native boxes and only
+    handles sphere/triangle tables)."""
     b = SceneBuilder()
     gray = b.materials.lambertian("gray", (0.5, 0.5, 0.5))
     red = b.materials.lambertian("red", (0.7, 0.2, 0.1))
@@ -22,12 +25,12 @@ def _scene(n_grid=6):
     rng = np.random.default_rng(3)
     for i in range(n_grid):
         for j in range(n_grid):
-            c = (i - n_grid / 2 + 0.5, 0.4, j - n_grid / 2 + 0.5)
+            c = np.asarray((i - n_grid / 2 + 0.5, 0.4, j - n_grid / 2 + 0.5))
             if (i + j) % 2:
                 b.geometry.add_sphere(c, 0.3, red)
             else:
-                b.geometry.add_cube(c, red,
-                                    transform=None)
+                b.geometry.add_box(c - 1.0, c + 1.0, red,
+                                   tessellate=tessellate)
     return b.build(with_bvh=False)
 
 
@@ -119,7 +122,7 @@ def test_binned_matches_oracle():
     from raytracer_project_tpu.ops import pallas_binned
     from raytracer_project_tpu.ops.intersect import intersect_brute_mm
 
-    scene = _scene()
+    scene = _scene(tessellate=True)
     o, d = _rays(scene)
     ref = intersect_brute_mm(scene, o, d, 1e-3)
     got = pallas_binned.intersect_brute_binned(

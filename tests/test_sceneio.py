@@ -19,7 +19,7 @@ def test_demo_scene_loads_and_renders(key):
         os.path.join(REPO, "examples", "scene_demo.json"), with_bvh=False
     )
     assert scene.spheres.count >= 4
-    assert scene.triangles.count == 12  # one cube
+    assert scene.boxes.count == 1  # one cube -> one native box primitive
     assert config.env_mode == env_mod.PHYSICAL_SUN
     # Astronomical block resolved into a concrete sun direction.
     assert float(np.linalg.norm(np.asarray(env.sun_direction))) > 0.5

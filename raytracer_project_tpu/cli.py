@@ -47,6 +47,9 @@ def _build_parser() -> argparse.ArgumentParser:
     r.add_argument("--chunk", type=int, default=4,
                    help="samples per progressive chunk")
     r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--devices", type=int, default=None,
+                   help="shard pixel tiles over this many devices "
+                        "(default: 1; pass 0 for all visible devices)")
     r.add_argument("--quiet", action="store_true")
 
     b = sub.add_parser("bench", help="run the standard benchmark")
@@ -123,9 +126,17 @@ def _cmd_render(args) -> int:
             focus_dist=10.0,
         )
 
+    mesh = None
+    if args.devices is not None:
+        from .parallel import distributed, render as prender
+
+        distributed.init_distributed()  # no-op single-process
+        mesh = prender.make_mesh(args.devices or None)
+        log.system("Pixel tiles sharded over %d device(s)", mesh.devices.size)
+
     sess = RenderSession(scene, cam, env, config, log=log,
                          key=jax.random.PRNGKey(args.seed),
-                         chunk_samples=args.chunk)
+                         chunk_samples=args.chunk, mesh=mesh)
     if args.resume and args.checkpoint:
         try:
             sess.restore(args.checkpoint)

@@ -133,6 +133,37 @@ def analyze_framebuffer(img) -> ImageStatistics:
     )
 
 
+def analyze_framebuffer_psum(img, axis_name: str) -> ImageStatistics:
+    """Sharded image statistics: per-shard reductions + collectives.
+
+    Call INSIDE shard_map/pmap with `img` holding this shard's pixels; the
+    result is replicated across shards. The log-average composes as
+    psum(sum log)/psum(count), max as pmax, histogram as psum — the
+    distributed replacement for the reference's host-side full-image loop
+    (color_processing.hpp:150-182), per SURVEY §5.8.
+    """
+    lum = vecmath.luminance(img.reshape(-1, 3))
+    clamped = jnp.maximum(lum, 1e-4)
+    log_lum = jnp.log2(clamped)
+    total_log = jax.lax.psum(jnp.sum(log_lum), axis_name)
+    count = jax.lax.psum(jnp.asarray(log_lum.size, jnp.float32), axis_name)
+    avg = jnp.exp2(total_log / count)
+    mx = jax.lax.pmax(jnp.max(lum), axis_name)
+
+    normalized = (log_lum + 10.0) / 20.0
+    bins = jnp.clip((normalized * 255.0).astype(jnp.int32), 0, 255)
+    hist = jax.lax.psum(
+        jnp.zeros((256,), jnp.int32).at[bins].add(1), axis_name
+    )
+    peak = jnp.maximum(jnp.max(hist), 1)
+    return ImageStatistics(
+        average_luminance=avg,
+        max_luminance=mx,
+        histogram=hist,
+        normalized_histogram=hist.astype(jnp.float32) / peak,
+    )
+
+
 def soft_histogram(img, bins: int = 256, lo: float = -10.0, hi: float = 10.0,
                    temperature: float = 0.5) -> jax.Array:
     """Differentiable log-luminance histogram via gaussian soft-binning —

@@ -10,9 +10,13 @@ Because all randomness is keyed on (base_key, global pixel id, sample)
 (see core/rng.py), an N-device render is bit-identical to the 1-device
 render — the shard-invariance property the test suite asserts.
 
-Multi-host: the same shard_map runs under `jax.distributed.initialize()`
-with a (host, chip) mesh; tiles ride ICI within a slice and only the final
-gather for preview/export crosses to host 0.
+Multi-host: parallel/distributed.py owns the process group
+(`init_distributed` -> jax.distributed.initialize, `make_global_mesh`,
+`gather_to_host0`); the same shard_map here runs over the global mesh,
+tiles ride ICI within a slice, statistics reduce with psum
+(analyze_sharded), and only the final gather for preview/export crosses
+to host 0. tests/test_distributed.py runs this for real with 2 processes
+x 4 virtual devices.
 """
 
 from __future__ import annotations
@@ -80,3 +84,66 @@ def render_sharded_jit(config: integrator.RenderConfig, mesh: Mesh):
     """jit-compiled sharded renderer closed over static config + mesh."""
     fn = functools.partial(render_sharded, config=config, mesh=mesh)
     return jax.jit(fn)
+
+
+def sharded_accumulate(scene, cam, env, key, config: integrator.RenderConfig,
+                       ids_padded, sample_offset, *, mesh: Mesh,
+                       with_stats: bool = False):
+    """accumulate_samples with the pixel axis sharded over `mesh`.
+
+    ids_padded: global pixel ids, length a multiple of the shard count
+    (see _padded_pixel_ids). Returns per-pixel SUMS (padded length) so a
+    progressive session can keep adding chunks; with_stats additionally
+    returns {"segments", "steps"} psum'd across shards. This is the
+    product-surface step function RenderSession uses when given a mesh —
+    the counterpart of the reference's render-thread row fan-out
+    (/root/reference/main.cpp:1520-1531, camera.hpp:556-573).
+    """
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(TILE_AXIS), P()),
+        out_specs=((P(TILE_AXIS), {"segments": P(), "steps": P()})
+                   if with_stats else P(TILE_AXIS)),
+        check_vma=False,
+    )
+    def shard_fn(scene_, cam_, env_, key_, ids_local, off_):
+        out = integrator.accumulate_samples(
+            scene_, cam_, env_, key_, config, ids_local, off_,
+            with_stats=with_stats,
+        )
+        if not with_stats:
+            return out
+        buf, stats = out
+        segments = stats.get("segments")
+        stats = {
+            "segments": (jax.lax.psum(segments, TILE_AXIS)
+                         if segments is not None else jnp.zeros(())),
+            "steps": jax.lax.pmax(
+                jnp.asarray(stats["steps"], jnp.int32), TILE_AXIS),
+        }
+        return buf, stats
+
+    return shard_fn(scene, cam, env, key, ids_padded,
+                    jnp.asarray(sample_offset, jnp.int32))
+
+
+def analyze_sharded(image_flat, mesh: Mesh):
+    """psum'd image statistics over a pixel-sharded flat [N, 3] buffer.
+
+    Stats reduce on-device with collectives (no full-image host gather) —
+    closes the 'the caller psums' IOU in ops/post.analyze_framebuffer.
+    """
+    from ..ops import post as post_mod
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=P(TILE_AXIS),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def fn(local):
+        return post_mod.analyze_framebuffer_psum(local, TILE_AXIS)
+
+    return fn(image_flat)

@@ -13,6 +13,11 @@ machine (/root/reference/main.cpp:1395-1645, camera.hpp:209-343):
  * per-pass display/export through the differentiable post chain
    (camera.hpp:299-343 export parity)
  * progress/ETA + actual rays/s metrics (main.cpp:1399-1424)
+ * mesh=... shards the step's pixel tiles over a jax device mesh
+   (parallel/render.sharded_accumulate) with psum'd statistics — the
+   multi-chip replacement for the reference's render-thread row fan-out
+   (main.cpp:1520-1531); results are bit-identical to the unsharded
+   session (tests/test_distributed.py)
 
 The reference's dirty-flag trichotomy maps to:
   should_restart  -> RenderSession.reset() (new accumulator)
@@ -78,10 +83,33 @@ class RenderSession:
         self.chunk_samples = chunk_samples
 
         self._chunk_cfg = dataclasses.replace(config, samples_per_pixel=chunk_samples)
-        self._step_fn = jax.jit(
-            integrator.accumulate_samples,
-            static_argnames=("config", "with_stats"),
-        )
+        if mesh is not None:
+            # Pixel-tile sharding over the device mesh: the session's step
+            # IS the multi-chip path (parallel/render.sharded_accumulate),
+            # the counterpart of the reference's render-thread fan-out
+            # (main.cpp:1520-1531). Pixel ids are padded to the shard
+            # count; buffers()/checkpoint() slice the padding back off.
+            import functools
+
+            from ..parallel import render as prender
+
+            self._ids = prender._padded_pixel_ids(
+                config.n_pixels, mesh.devices.size)
+            self._n_pad = int(self._ids.shape[0])
+            self._step_fn = jax.jit(
+                functools.partial(prender.sharded_accumulate, mesh=mesh,
+                                  with_stats=True),
+                static_argnames=("config",),
+            )
+        else:
+            self._ids = jnp.arange(config.n_pixels, dtype=jnp.int32)
+            self._n_pad = config.n_pixels
+            base = jax.jit(
+                integrator.accumulate_samples,
+                static_argnames=("config", "with_stats"),
+            )
+            self._step_fn = lambda sc, ca, en, k, cfg, ids, off: base(
+                sc, ca, en, k, cfg, ids, off, with_stats=True)
         self.cancel_requested = False
         self._start_time: float | None = None
         self.reset()
@@ -92,8 +120,7 @@ class RenderSession:
 
     def reset(self) -> None:
         """Zero all buffers + sample counter (camera.hpp:209-233)."""
-        n = self.config.n_pixels
-        zeros = jnp.zeros((n, 3), jnp.float32)
+        zeros = jnp.zeros((self._n_pad, 3), jnp.float32)
         self.acc = integrator.SampleBuffers(*([zeros] * 6))
         self.samples_done = 0
         self.segments_traced = 0.0
@@ -107,11 +134,10 @@ class RenderSession:
                else dataclasses.replace(self.config, samples_per_pixel=n_samples))
         if self._start_time is None:
             self._start_time = time.perf_counter()
-        ids = jnp.arange(self.config.n_pixels, dtype=jnp.int32)
         t0 = time.perf_counter()
         delta, stats = self._step_fn(self.scene, self.camera, self.env,
-                                     self.key, cfg, ids, self.samples_done,
-                                     with_stats=True)
+                                     self.key, cfg, self._ids,
+                                     self.samples_done)
         self.acc = jax.tree.map(jnp.add, self.acc, delta)
         jax.block_until_ready(self.acc)
         dt = time.perf_counter() - t0
@@ -119,7 +145,7 @@ class RenderSession:
         self.log.tick_frame()
         bound = applog.rays_per_second(self.config.width, self.config.height,
                                        n_samples, self.config.max_depth, dt)
-        if stats.get("segments") is not None:
+        if stats.get("segments") is not None and float(stats["segments"]) > 0:
             # Pooled wavefront: the carry counts actually-traced segments.
             self.segments_traced += float(stats["segments"])
             measured = applog.measured_rays_per_second(
@@ -162,13 +188,35 @@ class RenderSession:
 
     # -- display / export ---------------------------------------------------
 
+    def _acc_unpadded(self) -> integrator.SampleBuffers:
+        n = self.config.n_pixels
+        if self._n_pad == n:
+            return self.acc
+        return jax.tree.map(lambda x: x[:n], self.acc)
+
     def buffers(self) -> dict:
-        """Averaged linear buffers [H, W, 3]."""
+        """Averaged linear buffers [H, W, 3] (gathered to this host)."""
         total = max(self.samples_done, 1)
-        return integrator.finalize_buffers(self.acc, self.config,
+        acc = self._acc_unpadded()
+        if jax.process_count() > 1:
+            from ..parallel import distributed
+
+            acc = integrator.SampleBuffers(
+                *distributed.gather_to_host0(tuple(acc)))
+        return integrator.finalize_buffers(acc, self.config,
                                            total_samples=total)
 
     def statistics(self) -> post_mod.ImageStatistics:
+        if self.mesh is not None:
+            # On-device psum'd reduction over the sharded accumulator —
+            # no full-image host gather (SURVEY §5.8). Padding rows
+            # duplicate pixel n-1 (< shard_count extra rows in 10^5+): a
+            # negligible, deterministic bias accepted for a layout with
+            # zero data movement.
+            from ..parallel import render as prender
+
+            img = self.acc.beauty / max(self.samples_done, 1)
+            return prender.analyze_sharded(img, self.mesh)
         return post_mod.analyze_framebuffer(self.buffers()["beauty"])
 
     def resolved_exposure(self):
@@ -212,14 +260,15 @@ class RenderSession:
 
     def checkpoint(self, path: str) -> str:
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        acc = self._acc_unpadded()  # mesh-agnostic on disk
         np.savez_compressed(
             path,
-            beauty=np.asarray(self.acc.beauty),
-            albedo=np.asarray(self.acc.albedo),
-            normal=np.asarray(self.acc.normal),
-            z_depth=np.asarray(self.acc.z_depth),
-            reflection=np.asarray(self.acc.reflection),
-            refraction=np.asarray(self.acc.refraction),
+            beauty=np.asarray(acc.beauty),
+            albedo=np.asarray(acc.albedo),
+            normal=np.asarray(acc.normal),
+            z_depth=np.asarray(acc.z_depth),
+            reflection=np.asarray(acc.reflection),
+            refraction=np.asarray(acc.refraction),
             key=np.asarray(self.key),
             samples_done=self.samples_done,
             config=json.dumps(dataclasses.asdict(self.config)),
@@ -235,8 +284,16 @@ class RenderSession:
             raise ValueError(
                 f"checkpoint config mismatch: {stored} != {current}"
             )
+        def load(k):
+            arr = np.asarray(data[k])
+            pad = self._n_pad - arr.shape[0]
+            if pad > 0:  # re-pad for the sharded layout (duplicate rows
+                # are never read back: buffers() slices them off)
+                arr = np.concatenate([arr, np.zeros((pad, 3), arr.dtype)])
+            return jnp.asarray(arr)
+
         self.acc = integrator.SampleBuffers(
-            *[jnp.asarray(data[k]) for k in
+            *[load(k) for k in
               ("beauty", "albedo", "normal", "z_depth", "reflection",
                "refraction")]
         )

@@ -150,6 +150,10 @@ def test_multiprocess_render_matches_single(tmp_path):
     out_npy = str(tmp_path / "beauty.npy")
     env_vars = dict(os.environ)
     env_vars.pop("JAX_PLATFORMS", None)  # worker forces cpu via config
+    # `python /tmp/.../worker.py` puts the script's directory on sys.path,
+    # not the cwd — the package lives at the repo root, so point PYTHONPATH
+    # there explicitly.
+    env_vars["PYTHONPATH"] = REPO + os.pathsep + env_vars.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(pid), "2", str(port), out_npy],

@@ -66,8 +66,11 @@ class RenderConfig:
     # Reverse-mode differentiable bounce loop: replaces the early-exit
     # `lax.while_loop` with a bounded `fori_loop` (scan-convertible, so
     # jax.grad works — see diff/). Slightly slower forward (no all-lanes-dead
-    # exit); requires the brute-force intersector (the BVH walk is itself a
-    # while_loop), so keep scenes below BVH_MIN_PRIMS or bvh=None.
+    # exit). Intersection runs detached-traversal (intersect_detached): the
+    # discrete closest-hit search uses whatever fast path applies on
+    # stop_gradient'd inputs, then t is recomputed differentiably for the
+    # chosen primitive — so differentiable renders scale to BVH/MXU-sized
+    # scenes (only silhouette-boundary gradient terms are dropped).
     differentiable: bool = False
     # Pooled-wavefront scheduling (ops/wavefront.py): lanes whose path ended
     # respawn the next (pixel, sample) immediately instead of idling until
@@ -131,7 +134,15 @@ def trace(scene: Scene, env, origin, direction, lane_rng: rng.LaneRng, *,
     def body(s: _PathState):
         lr = lane_rng.with_ctx(s.bounce + 1, spec)
 
-        hit = intersect.intersect(scene, s.origin, s.direction, T_MIN)
+        if differentiable:
+            # Detached traversal + differentiable hit distance: any fast
+            # intersector (BVH / MXU / Pallas) is usable under reverse-mode
+            # AD because no tangent enters its discrete search.
+            hit = intersect.intersect_detached(
+                scene, s.origin, s.direction, T_MIN
+            )
+        else:
+            hit = intersect.intersect(scene, s.origin, s.direction, T_MIN)
         rec = intersect.make_record(scene, s.origin, s.direction, hit)
         if scene.volumes is not None:
             # Stochastic media interaction may preempt the surface hit
@@ -223,11 +234,6 @@ def render_sample(scene: Scene, cam: camera_mod.Camera, env, key,
     (seed, pixel, sample, bounce, stream) — see core/rng.py — so any
     batching, sharding, or chunking produces bit-identical contributions.
     """
-    if config.differentiable and scene.mm is not None:
-        # The MXU coefficient tables are *derived* leaves — gradients must
-        # flow through the raw sphere/triangle tables, so use the classic
-        # candidate kernels in differentiable renders.
-        scene = scene._replace(mm=None)
     if pixel_ids is None:
         pixel_ids = jnp.arange(config.n_pixels, dtype=jnp.int32)
     n = pixel_ids.shape[0]
@@ -239,7 +245,10 @@ def render_sample(scene: Scene, cam: camera_mod.Camera, env, key,
 
     o, d = camera_mod.generate_rays(cam, lr0, pixel_ids, config.width)
 
-    first = intersect.intersect(scene, o, d, T_MIN)
+    if config.differentiable:
+        first = intersect.intersect_detached(scene, o, d, T_MIN)
+    else:
+        first = intersect.intersect(scene, o, d, T_MIN)
     rec = intersect.make_record(scene, o, d, first)
     if scene.volumes is not None:
         rec = volumes_mod.apply_to_record(scene.volumes, o, d, first, rec, lr0)

@@ -616,6 +616,113 @@ def intersect(scene: Scene, o, d, tmin) -> Hit:
 
 
 # ---------------------------------------------------------------------------
+# Detached-traversal differentiable intersection (SURVEY §7/S7)
+# ---------------------------------------------------------------------------
+
+# The closest-hit *search* (which primitive wins, hit vs miss) is discrete —
+# its argmin/while-loop structure has no useful derivative and blocks
+# reverse-mode AD (lax.while_loop has no transpose rule). The standard
+# detached-sampling estimator differentiates everything *except* that
+# discrete choice: traversal runs on stop_gradient'd inputs with whatever
+# fast path applies (BVH walk, MXU matmul scan, Pallas kernel), then the hit
+# distance t of the chosen primitive is recomputed differentiably from the
+# raw geometry tables. Gradients flow to camera/geometry/material/env
+# parameters through the chosen hit; only boundary (silhouette) terms are
+# dropped, exactly as BASELINE.json's "reparameterized/detached-sampling
+# gradients" allows. This removes the old restriction that differentiable
+# renders needed brute-force-small scenes.
+
+def _eps_signed(x, eps=1e-12):
+    """Clamp |x| >= eps preserving sign (gradient-safe division guard)."""
+    return jnp.where(jnp.abs(x) < eps, jnp.where(x < 0.0, -eps, eps), x)
+
+
+def _diff_t_sphere(scene: Scene, o, d, idx, t_det):
+    """Differentiable t of the chosen sphere: re-solve the quadratic
+    (sphere.hpp:18-39) and pick the root the detached traversal chose."""
+    s = scene.spheres
+    center = s.center[idx]
+    radius = s.radius[idx]
+    oc = center - o
+    a = vecmath.length_squared(d)
+    h = vecmath.dot(d, oc)
+    c = vecmath.length_squared(oc) - radius * radius
+    disc = jnp.maximum(h * h - a * c, 0.0)  # chosen lanes have disc > 0
+    sq = vecmath.safe_sqrt(disc)
+    inv_a = 1.0 / _eps_signed(a)
+    r0 = (h - sq) * inv_a
+    r1 = (h + sq) * inv_a
+    sg = jax.lax.stop_gradient
+    pick0 = jnp.abs(sg(r0) - t_det) <= jnp.abs(sg(r1) - t_det)
+    return jnp.where(pick0, r0, r1)
+
+
+def _diff_t_triangle(scene: Scene, o, d, idx, t_det):
+    """Differentiable t of the chosen triangle (Möller-Trumbore,
+    triangle.hpp:17-82 equivalent)."""
+    tr = scene.triangles
+    v0, e1, e2 = tr.v0[idx], tr.e1[idx], tr.e2[idx]
+    pvec = jnp.cross(d, e2)
+    det = _eps_signed(vecmath.dot(e1, pvec))
+    tvec = o - v0
+    qvec = jnp.cross(tvec, e1)
+    return vecmath.dot(e2, qvec) / det
+
+
+def _diff_t_box(scene: Scene, o, d, idx, t_det):
+    """Differentiable t of the chosen affine-slab box: local-frame slab
+    distances (cube.hpp:44-86), picking near/exit as the traversal did."""
+    b = scene.boxes
+    m = b.minv[idx].reshape(-1, 3, 3)
+    trans = b.trans[idx]
+    lo = jnp.einsum("nij,nj->ni", m, o) + trans
+    ld = _eps_signed(jnp.einsum("nij,nj->ni", m, d), 1e-30)
+    inv = 1.0 / ld
+    t0 = (-1.0 - lo) * inv
+    t1 = (1.0 - lo) * inv
+    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    sg = jax.lax.stop_gradient
+    pickn = jnp.abs(sg(tn) - t_det) <= jnp.abs(sg(tf) - t_det)
+    return jnp.where(pickn, tn, tf)
+
+
+def intersect_detached(scene: Scene, o, d, tmin) -> Hit:
+    """Closest hit with detached traversal + differentiable hit distance.
+
+    Drop-in for `intersect` on differentiable paths: the returned prim
+    choice and hit mask are constants w.r.t. AD, but `t` carries exact
+    gradients to the chosen primitive's parameters and to (o, d)."""
+    sg = jax.lax.stop_gradient
+    det = intersect(sg(scene), sg(o), sg(d), sg(jnp.asarray(tmin)))
+    t_det = jnp.where(det.hit, det.t, 1.0)
+    t = t_det
+    if scene.spheres.count:
+        ts = _diff_t_sphere(
+            scene, o, d,
+            jnp.clip(det.prim_idx, 0, scene.spheres.count - 1), t_det,
+        )
+        t = jnp.where(det.prim_type == PRIM_SPHERE, ts, t)
+    if scene.triangles.count:
+        tt = _diff_t_triangle(
+            scene, o, d,
+            jnp.clip(det.prim_idx, 0, scene.triangles.count - 1), t_det,
+        )
+        t = jnp.where(det.prim_type == PRIM_TRIANGLE, tt, t)
+    if scene.boxes is not None and scene.boxes.count:
+        tb = _diff_t_box(
+            scene, o, d, jnp.clip(det.prim_idx, 0, scene.boxes.count - 1),
+            t_det,
+        )
+        t = jnp.where(det.prim_type == PRIM_BOX, tb, t)
+    # Miss lanes keep the detached constant (T_MAX); hit lanes must carry
+    # the recomputed value, which equals t_det to float rounding.
+    t = jnp.where(det.hit, t, det.t)
+    return Hit(t=t, prim_type=det.prim_type, prim_idx=det.prim_idx,
+               hit=det.hit)
+
+
+# ---------------------------------------------------------------------------
 # Deferred hit-record construction
 # ---------------------------------------------------------------------------
 

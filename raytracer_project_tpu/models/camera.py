@@ -95,7 +95,7 @@ def make_camera(
 def generate_rays(cam: Camera, keys, pixel_ids: jax.Array, width: int):
     """One jittered thin-lens ray per pixel (camera.hpp:784-794).
 
-    keys: a core.rng.LaneRng (hot path — one PCG4D hash yields both the
+    keys: a core.rng.LaneRng (hot path — one counter hash yields both the
     sub-pixel jitter and the defocus-disk draw) or legacy per-pixel threefry
     keys [n, 2]. Each pixel's randomness depends only on its own lane
     identity, making ray generation shard-invariant. pixel_ids: global
@@ -111,8 +111,16 @@ def generate_rays(cam: Camera, keys, pixel_ids: jax.Array, width: int):
         offset = rng.square_jitter_each(jitter_keys)
         disk2 = rng.in_unit_disk_each(disk_keys)[:, :2]
 
-    ii = (pixel_ids % width).astype(jnp.float32)
-    jj = (pixel_ids // width).astype(jnp.float32)
+    # Row/col split in f32: i32 div/mod lowers to emulated multiply-high on
+    # the TPU VPU (~0.35 ms per mult at 262k lanes). The f32 estimate
+    # floor((pix+0.5)/w) can be off by one above ~5M pixels, so one exact
+    # integer correction follows: pf and jj*width are integers < 2^24,
+    # hence their f32 difference is exact and the remainder test is exact.
+    pf = pixel_ids.astype(jnp.float32)
+    jj = jnp.floor((pf + 0.5) * (1.0 / width))
+    ii = pf - jj * width
+    jj = jnp.where(ii < 0.0, jj - 1.0, jnp.where(ii >= width, jj + 1.0, jj))
+    ii = pf - jj * width
     px = (ii + offset[:, 0])[:, None]
     py = (jj + offset[:, 1])[:, None]
     pixel_sample = cam.pixel00 + px * cam.pixel_delta_u + py * cam.pixel_delta_v

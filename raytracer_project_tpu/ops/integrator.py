@@ -230,7 +230,7 @@ def render_sample(scene: Scene, cam: camera_mod.Camera, env, key,
 
     pixel_ids (optional i32[n]): global row-major pixel indices per lane —
     the sharding hook. sample_ids (optional i32[n]): per-lane sample index
-    (0 when omitted). Every draw is a pure PCG4D hash of
+    (0 when omitted). Every draw is a pure counter hash of
     (seed, pixel, sample, bounce, stream) — see core/rng.py — so any
     batching, sharding, or chunking produces bit-identical contributions.
     """

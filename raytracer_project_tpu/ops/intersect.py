@@ -752,14 +752,58 @@ def _tri_packed(scene: Scene):
     )
 
 
-def _sphere_record(scene: Scene, o, d, t, idx):
-    """Sphere shading data (sphere.hpp:40-59)."""
-    g = _sphere_packed(scene)[idx]            # one [N, 5] gather
+_PACK_COLS = 28
+
+
+def _default_row(vals):
+    import numpy as np
+
+    r = np.zeros((_PACK_COLS,), np.float32)
+    r[: len(vals)] = vals
+    return r
+
+
+# Benign stand-in rows fed to a decoder for lanes of another primitive type
+# (numpy so they embed as free constants — see the _BOX_FACE_U note below).
+# Sphere: unit sphere at origin; triangle: unit right triangle with +z
+# normals; box: identity transform. All arithmetic on them stays O(1).
+_SPHERE_DEFAULT_ROW = _default_row([0, 0, 0, 1, 0])
+_TRI_DEFAULT_ROW = _default_row(
+    [0, 0, 0, 1, 0, 0, 0, 1, 0,          # v0, e1, e2
+     0, 0, 1, 0, 0, 1, 0, 0, 1,          # n0, n1, n2
+     0, 0, 1, 0, 0, 1,                   # uv0, uv1, uv2
+     1, 0, 0, 0]                          # tangent, mat
+)
+_BOX_DEFAULT_ROW = _default_row([1, 0, 0, 0, 1, 0, 0, 0, 1, 0, 0, 0, 0])
+
+
+def _packed_all(scene: Scene):
+    """One [Ns+Nt+Nb, 28] table holding every primitive type's shading
+    columns (sphere rows use cols 0:5, triangle rows 0:28, box rows 0:13).
+
+    Loop-invariant, so XLA hoists it out of the bounce loop; make_record
+    then needs exactly ONE wide gather per step instead of one per
+    primitive type (each 262k-lane gather costs ~3-4 ms on v5e)."""
+    pads = []
+    s = _sphere_packed(scene)
+    pads.append(jnp.pad(s, ((0, 0), (0, _PACK_COLS - s.shape[1]))))
+    pads.append(_tri_packed(scene))
+    if scene.boxes is not None:
+        b = _box_packed(scene)
+        pads.append(jnp.pad(b, ((0, 0), (0, _PACK_COLS - b.shape[1]))))
+    return jnp.concatenate(pads, axis=0)
+
+
+def _sphere_record_from(g, o, d, t):
+    """Sphere shading data (sphere.hpp:40-59); g = packed rows [N, 28]."""
     center = g[:, 0:3]
-    radius = g[:, 3]
+    # abs+floor keeps wrong-type rows (cols are then e1/minv components,
+    # possibly negative) from blowing up the masked-out lanes' arithmetic;
+    # identity for real spheres (radius > 0).
+    radius = jnp.maximum(jnp.abs(g[:, 3]), 1e-6)
     mat = g[:, 4].astype(jnp.int32)
     p = o + t[:, None] * d
-    outward = (p - center) / jnp.maximum(radius, 1e-12)[:, None]
+    outward = (p - center) / radius[:, None]
     front = vecmath.dot(d, outward) < 0.0
     normal = jnp.where(front[:, None], outward, -outward)
 
@@ -784,10 +828,9 @@ def _sphere_record(scene: Scene, o, d, t, idx):
     return p, normal, tangent, bitangent, front, u, v, mat
 
 
-def _triangle_record(scene: Scene, o, d, t, idx):
+def _triangle_record_from(g, o, d, t):
     """Triangle shading data: barycentric-smooth normal (triangle.hpp:56-79)
     + interpolated UVs and the face tangent frame (cube faces)."""
-    g = _tri_packed(scene)[idx]               # one [N, 28] gather
     v0, e1, e2 = g[:, 0:3], g[:, 3:6], g[:, 6:9]
     n0, n1, n2 = g[:, 9:12], g[:, 12:15], g[:, 15:18]
     uv0, uv1, uv2 = g[:, 18:20], g[:, 20:22], g[:, 22:24]
@@ -850,10 +893,9 @@ _BOX_FACE_TAN = _np.asarray([
 ], _np.float32)
 
 
-def _box_record(scene: Scene, o, d, t, idx):
+def _box_record_from(g, o, d, t):
     """Box shading data: face normal/UV/tangent from the local hit point
     (cube.hpp:100-142)."""
-    g = _box_packed(scene)[idx]               # one [N, 13] gather
     m = g[:, 0:9].reshape(-1, 3, 3)           # world->local rows
     trans = g[:, 9:12]
     mat = g[:, 12].astype(jnp.int32)
@@ -900,8 +942,28 @@ def make_record(scene: Scene, o, d, hit: Hit) -> HitRecord:
     """
     idx = hit.prim_idx
     t_safe = jnp.where(hit.hit, hit.t, 1.0)
-    sp = _sphere_record(scene, o, d, t_safe, jnp.clip(idx, 0, scene.spheres.count - 1))
-    tp = _triangle_record(scene, o, d, t_safe, jnp.clip(idx, 0, scene.triangles.count - 1))
+    # One global gather: rows [0,Ns) spheres, [Ns,Ns+Nt) triangles,
+    # [Ns+Nt,..) boxes. Each decoder interprets the SAME gathered rows with
+    # its own column layout; wrong-type lanes produce garbage that the
+    # type select below masks (all decoders are division/NaN-guarded, so
+    # the garbage cannot poison gradients).
+    ns, nt = scene.spheres.count, scene.triangles.count
+    table = _packed_all(scene)
+    base = jnp.where(hit.prim_type == PRIM_TRIANGLE, ns,
+                     jnp.where(hit.prim_type == PRIM_BOX, ns + nt, 0))
+    g = table[jnp.clip(idx + base, 0, table.shape[0] - 1)]
+    # Wrong-type lanes must see a BENIGN row, not another type's columns:
+    # garbage magnitudes (e.g. an affine minv row read as a sphere center)
+    # survive the forward select but overflow the *backward* chain
+    # (normalize grads cube the length) into NaN on masked lanes.
+    is_sph = hit.prim_type == PRIM_SPHERE
+    is_tri_m = hit.prim_type == PRIM_TRIANGLE
+    is_box_m = hit.prim_type == PRIM_BOX
+    sel_row = lambda m, default: jnp.where(m[:, None], g, default)
+    sp = _sphere_record_from(sel_row(is_sph, _SPHERE_DEFAULT_ROW),
+                             o, d, t_safe)
+    tp = _triangle_record_from(sel_row(is_tri_m, _TRI_DEFAULT_ROW),
+                               o, d, t_safe)
 
     is_tri = (hit.prim_type == PRIM_TRIANGLE)
 
@@ -910,10 +972,9 @@ def make_record(scene: Scene, o, d, hit: Hit) -> HitRecord:
 
     parts = tuple(sel(is_tri, sp[i], tp[i]) for i in range(8))
     if scene.boxes is not None:
-        bp = _box_record(scene, o, d, t_safe,
-                         jnp.clip(idx, 0, scene.boxes.count - 1))
-        is_box = hit.prim_type == PRIM_BOX
-        parts = tuple(sel(is_box, parts[i], bp[i]) for i in range(8))
+        bp = _box_record_from(sel_row(is_box_m, _BOX_DEFAULT_ROW),
+                              o, d, t_safe)
+        parts = tuple(sel(is_box_m, parts[i], bp[i]) for i in range(8))
     p, normal, tangent, bitangent, front, u, v, mat = parts
     return HitRecord(
         t=hit.t, p=p, normal=normal, tangent=tangent, bitangent=bitangent,

@@ -97,7 +97,7 @@ def scatter(scene: Scene, rec: HitRecord, in_dir, keys) -> Scatter:
     """One shading event for every lane; branchless over material types.
 
     in_dir f32[N,3] incoming ray direction (not necessarily unit).
-    keys: a core.rng.LaneRng (hot path — one PCG4D hash per lane) or legacy
+    keys: a core.rng.LaneRng (hot path — one counter-hash per lane) or legacy
     per-lane threefry keys [N, 2] — randomness depends only on the lane's
     own identity so shading is shard-invariant and replayable.
     """

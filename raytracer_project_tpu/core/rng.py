@@ -163,6 +163,19 @@ def draw_unit_vector_and_uniform(lr: LaneRng, stream: int):
     return vec, _u01(c)
 
 
+def draw_unit_vector_and_uniform_soa(lr: LaneRng, stream: int):
+    """SoA twin of draw_unit_vector_and_uniform: ((x, y, z), uniform).
+
+    Identical draws (same hash, same warp); only the output container
+    differs — component tuples keep the hot loop free of [N, 3] layouts
+    (see core/soa.py)."""
+    a, b, c, _ = bits4(lr, stream)
+    z = 1.0 - 2.0 * _u01(a)
+    phi = (2.0 * jnp.pi) * _u01(b)
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    return (r * jnp.cos(phi), r * jnp.sin(phi), z), _u01(c)
+
+
 def draw_camera(lr: LaneRng, stream: int = STREAM_CAMERA):
     """(sub-pixel jitter [n,2] in [-0.5,0.5]^2, unit-disk point [n,2])
     from one hash — the two camera draws (camera.hpp:784-794)."""

@@ -134,6 +134,39 @@ def generate_rays(cam: Camera, keys, pixel_ids: jax.Array, width: int):
     return origin, direction
 
 
+def generate_rays_soa(cam: Camera, keys, pixel_ids: jax.Array, width: int):
+    """SoA twin of generate_rays: ((ox,oy,oz), (dx,dy,dz)) component
+    tuples of [n] arrays — identical math and draws, no [n, 3] arrays
+    (see core/soa.py for why the hot loop avoids them)."""
+    offset, disk2 = rng.draw_camera(keys)
+    pf = pixel_ids.astype(jnp.float32)
+    jj = jnp.floor((pf + 0.5) * (1.0 / width))
+    ii = pf - jj * width
+    jj = jnp.where(ii < 0.0, jj - 1.0, jnp.where(ii >= width, jj + 1.0, jj))
+    ii = pf - jj * width
+    px = ii + offset[:, 0]
+    py = jj + offset[:, 1]
+    du, dv, p00 = cam.pixel_delta_u, cam.pixel_delta_v, cam.pixel00
+    u_, v_, c_ = cam.defocus_disk_u, cam.defocus_disk_v, cam.center
+    r0, r1 = disk2[:, 0], disk2[:, 1]
+    o = tuple(c_[k] + r0 * u_[k] + r1 * v_[k] for k in range(3))
+    d = tuple(p00[k] + px * du[k] + py * dv[k] - o[k] for k in range(3))
+    return o, d
+
+
+def view_space_normal_color_soa(cam: Camera, n):
+    """SoA twin of view_space_normal_color: n is (x, y, z), returns the
+    same component tuple of [0,1]-mapped view-space colors."""
+    from ..core import soa
+
+    n = soa.normalize(n)
+    out = []
+    for basis in (cam.u, cam.v, cam.w):
+        c = n[0] * basis[0] + n[1] * basis[1] + n[2] * basis[2]
+        out.append((c + 1.0) * 0.5)
+    return tuple(out)
+
+
 def view_space_normal_color(cam: Camera, n):
     """World normal -> [0,1]-mapped view-space normal color (camera.hpp:470-481)."""
     n = vecmath.normalize(n)

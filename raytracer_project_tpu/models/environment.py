@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import vecmath
+from ..core import soa, vecmath
 from ..core.constants import PI
 
 # Environment modes (environment.hpp:9-13).
@@ -155,6 +155,88 @@ def shade_sun_sky(env: Environment, unit_dir):
 
 
 _SHADERS = {PHYSICAL_SUN: shade_sun_sky, HDR_MAP: shade_hdr, SOLID_COLOR: shade_solid}
+
+
+# ---------------------------------------------------------------------------
+# SoA twins (component-tuple in/out; see core/soa.py). Same math as the
+# [N, 3] shaders above; used by the pooled-wavefront hot loop.
+# ---------------------------------------------------------------------------
+
+def _shade_solid_soa(env: Environment, d):
+    c = env.background_color * env.intensity
+    one = jnp.ones_like(d[0])
+    return c[0] * one, c[1] * one, c[2] * one
+
+
+def _shade_hdr_soa(env: Environment, d):
+    x, y, z = soa.normalize(d)
+    cy, sy = jnp.cos(env.hdri_rotation), jnp.sin(env.hdri_rotation)
+    x, z = cy * x + sy * z, -sy * x + cy * z
+    cp, sp = jnp.cos(env.hdri_tilt), jnp.sin(env.hdri_tilt)
+    y, z = cp * y - sp * z, sp * y + cp * z
+    cr, sr = jnp.cos(env.hdri_roll), jnp.sin(env.hdri_roll)
+    x, y = cr * x - sr * y, sr * x + cr * y
+    phi = jnp.arctan2(z, x) + PI
+    theta = vecmath.safe_arccos(y)
+    h, w = env.hdr_image.shape[0], env.hdr_image.shape[1]
+    uu = phi / (2.0 * PI)
+    uu = uu - jnp.floor(uu)
+    i = jnp.clip((uu * w).astype(jnp.int32), 0, w - 1)
+    j = jnp.clip((theta / PI * h).astype(jnp.int32), 0, h - 1)
+    texel = env.hdr_image[j, i] * env.intensity
+    return texel[..., 0], texel[..., 1], texel[..., 2]
+
+
+def _shade_sun_sky_soa(env: Environment, d):
+    """SoA twin of shade_sun_sky (camera.hpp:871-925)."""
+    ux, uy, uz = soa.normalize(d)
+    sd = vecmath.normalize(env.sun_direction)
+    sun_height = sd[1]
+    adjusted = sun_height - 0.05
+
+    sky_exposure = jnp.clip(adjusted * 8.0 + 1.4, 0.0, 1.0)
+    day_factor = jnp.clip(adjusted * 10.0 + 1.1, 0.0, 1.0)
+
+    sunset_intensity = jnp.clip(1.0 - jnp.abs(adjusted + 0.05) * 30.0, 0.0, 1.0)
+    sunset = jnp.where(adjusted > -0.1, sunset_intensity, 0.0)
+    sunset = jnp.where(sun_height < 0.0, sunset * (sun_height * 10.0 + 1.0), sunset)
+    sunset = jnp.clip(sunset, 0.0, 1.0)
+
+    # All of the above is scalar (env-only); per-lane work starts here.
+    zen = [0.01, 0.03, 0.1]
+    zday = [0.2, 0.5, 1.0]
+    hor = [0.05, 0.02, 0.01]
+    hday = [0.6, 0.8, 1.0]
+    hsun = [1.0, 0.35, 0.1]
+    scol_sunset = [1.0, 0.3, 0.1]
+    visibility = jnp.clip(sun_height * 5.0 + 1.0, 0.0, 1.0)
+    threshold = 1.0 - env.sun_size * 0.001
+    sun_focus = ux * sd[0] + uy * sd[1] + uz * sd[2]
+    alpha = vecmath.smoothstep(threshold, threshold + 0.0002, sun_focus)
+    disc_on = (sun_focus > threshold) & (adjusted > -0.1)
+    up = uy > 0.0
+    gain = env.intensity * 1.5 * sky_exposure
+    out = []
+    for k in range(3):
+        zenith = zen[k] * (1.0 - day_factor) + zday[k] * day_factor
+        horizon = hor[k] * (1.0 - day_factor) + hday[k] * day_factor
+        horizon = horizon * (1.0 - sunset) + hsun[k] * sunset
+        sky = jnp.where(up, (1.0 - uy) * horizon + uy * zenith, horizon * 0.1)
+        s_col = env.sun_color[k] * (1.0 - sunset) + scol_sunset[k] * sunset
+        disc = jnp.where(disc_on,
+                         s_col * env.sun_intensity * visibility * alpha, 0.0)
+        out.append(sky * gain + disc)
+    return tuple(out)
+
+
+_SHADERS_SOA = {PHYSICAL_SUN: _shade_sun_sky_soa, HDR_MAP: _shade_hdr_soa,
+                SOLID_COLOR: _shade_solid_soa}
+
+
+def background_color_soa(env: Environment, direction, mode: int):
+    """SoA twin of background_color: direction and result are (x, y, z)
+    component tuples of [N] arrays."""
+    return _SHADERS_SOA[mode](env, direction)
 
 
 def background_color(env: Environment, direction, mode: int):

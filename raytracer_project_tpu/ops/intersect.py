@@ -18,7 +18,7 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..core import vecmath
+from ..core import soa, vecmath
 from ..core.constants import PI, T_MAX
 from ..models.geometry import PRIM_BOX, PRIM_SPHERE, PRIM_TRIANGLE
 from ..models.scene import Scene
@@ -930,6 +930,207 @@ def _box_record_from(g, o, d, t):
     tangent = vecmath.normalize(jnp.einsum("ni,nij->nj", tan_l, m))
     bitangent = jnp.cross(normal, tangent)
     return p, normal, tangent, bitangent, front, u, v, mat
+
+
+# ---------------------------------------------------------------------------
+# SoA record decode (component-tuple twins; see core/soa.py)
+# ---------------------------------------------------------------------------
+#
+# The AoS decoders above are the oracle; these produce the same values with
+# vectors as (x, y, z) tuples of [N] arrays so the pooled-wavefront loop
+# never materializes [N, 3] arrays (XLA:TPU flip-flops their layouts across
+# fusion boundaries — measured ~24 ms/step of pure layout churn at 262k
+# lanes). Parity is asserted in tests/test_intersect.py.
+
+
+class HitRecordSoa(NamedTuple):
+    """SoA twin of HitRecord: vector fields are (x, y, z) tuples."""
+
+    t: jax.Array
+    p: tuple
+    normal: tuple
+    tangent: tuple
+    bitangent: tuple
+    front_face: jax.Array
+    u: jax.Array
+    v: jax.Array
+    mat: jax.Array
+    hit: jax.Array
+
+
+def _sphere_record_soa(g, o, d, t):
+    """SoA twin of _sphere_record_from (sphere.hpp:40-59)."""
+    center = (g[:, 0], g[:, 1], g[:, 2])
+    radius = jnp.maximum(jnp.abs(g[:, 3]), 1e-6)
+    mat = g[:, 4].astype(jnp.int32)
+    p = soa.axpy(t, d, o)
+    outward = soa.scale(soa.sub(p, center), 1.0 / radius)
+    front = soa.dot(d, outward) < 0.0
+    normal = soa.where(front, outward, soa.neg(outward))
+
+    theta = vecmath.safe_arccos(-outward[1])
+    phi = jnp.arctan2(-outward[2], outward[0]) + PI
+    u = phi / (2.0 * PI)
+    v = theta / PI
+
+    # world-up x n = (nz, 0, -nx); fallback (0,0,1) x n = (-ny, nx, 0)
+    # (sphere.hpp:50-59 pole handling).
+    tan_a = (normal[2], jnp.zeros_like(normal[0]), -normal[0])
+    degenerate = soa.length_squared(tan_a) < 1e-3
+    tan_b = (-normal[1], normal[0], jnp.zeros_like(normal[0]))
+    tangent = soa.normalize(soa.where(degenerate, tan_b, tan_a))
+    bitangent = soa.cross(normal, tangent)
+    return p, normal, tangent, bitangent, front, u, v, mat
+
+
+def _triangle_record_soa(g, o, d, t):
+    """SoA twin of _triangle_record_from (triangle.hpp:56-79)."""
+    v0 = (g[:, 0], g[:, 1], g[:, 2])
+    e1 = (g[:, 3], g[:, 4], g[:, 5])
+    e2 = (g[:, 6], g[:, 7], g[:, 8])
+    n0 = (g[:, 9], g[:, 10], g[:, 11])
+    n1 = (g[:, 12], g[:, 13], g[:, 14])
+    n2 = (g[:, 15], g[:, 16], g[:, 17])
+    tangent = (g[:, 24], g[:, 25], g[:, 26])
+    mat = g[:, 27].astype(jnp.int32)
+    p = soa.axpy(t, d, o)
+
+    geo_n = soa.cross(e1, e2)
+    area_sq = jnp.maximum(soa.length_squared(geo_n), 1e-24)
+    rel = soa.sub(p, v0)
+    c0 = soa.cross(e1, rel)
+    c2 = soa.cross(rel, e2)
+    u = soa.dot(geo_n, c2) / area_sq
+    v = soa.dot(geo_n, c0) / area_sq
+    w = 1.0 - u - v
+
+    smooth = soa.normalize(tuple(
+        w * n0[k] + u * n1[k] + v * n2[k] for k in range(3)))
+    front = soa.dot(d, smooth) < 0.0
+    normal = soa.where(front, smooth, soa.neg(smooth))
+
+    uu = w * g[:, 18] + u * g[:, 20] + v * g[:, 22]
+    vv = w * g[:, 19] + u * g[:, 21] + v * g[:, 23]
+    bitangent = soa.cross(normal, tangent)
+    return p, normal, tangent, bitangent, front, uu, vv, mat
+
+
+def _box_record_soa(g, o, d, t):
+    """SoA twin of _box_record_from (cube.hpp:100-142): the face one-hot
+    tables become explicit axis/sign selects."""
+    mat = g[:, 12].astype(jnp.int32)
+    p = soa.axpy(t, d, o)
+    # l = M p + trans, rows of M in g[:, 0:9], trans in g[:, 9:12].
+    l = tuple(
+        g[:, 3 * k] * p[0] + g[:, 3 * k + 1] * p[1] + g[:, 3 * k + 2] * p[2]
+        + g[:, 9 + k]
+        for k in range(3)
+    )
+    ax, ay, az = jnp.abs(l[0]), jnp.abs(l[1]), jnp.abs(l[2])
+    axis0 = (ax >= ay) & (ax >= az)
+    axis1 = ~axis0 & (ay >= az)
+    axis2 = ~axis0 & ~axis1
+    dom = jnp.where(axis0, l[0], jnp.where(axis1, l[1], l[2]))
+    sign = jnp.sign(dom)
+    pos = sign > 0.0
+
+    # outward = normalize(sign * M[axis, :]) (inverse-transpose row).
+    row = tuple(
+        jnp.where(axis0, g[:, k], jnp.where(axis1, g[:, 3 + k], g[:, 6 + k]))
+        for k in range(3)
+    )
+    outward = soa.normalize(soa.scale(row, sign))
+    front = soa.dot(d, outward) < 0.0
+    normal = soa.where(front, outward, soa.neg(outward))
+
+    # Face UV axes (cube.hpp:104-138 / _BOX_FACE_U, _BOX_FACE_V):
+    #   u-axis: x-faces (0,0,1); y-faces (1,0,0); z-: (-1,0,0); z+: (1,0,0)
+    #   v-axis: y-faces (0,0,1); x/z-faces (0,1,0)
+    zeros = jnp.zeros_like(l[0])
+    fu = (
+        jnp.where(axis0, 0.0, jnp.where(axis1, 1.0,
+                                        jnp.where(pos, 1.0, -1.0))),
+        zeros,
+        jnp.where(axis0, 1.0, 0.0),
+    )
+    fv = (
+        zeros,
+        jnp.where(axis1, 0.0, 1.0),
+        jnp.where(axis1, 1.0, 0.0),
+    )
+    u = soa.dot(l, fu) * 0.5 + 0.5
+    v = soa.dot(l, fv) * 0.5 + 0.5
+
+    # Local tangents (_BOX_FACE_TAN): x-: (0,0,1) x+: (0,0,-1);
+    # y-: (1,0,0) y+: (-1,0,0); z-: (-1,0,0) z+: (1,0,0).
+    tx = jnp.where(axis0, 0.0,
+                   jnp.where(axis1, jnp.where(pos, -1.0, 1.0),
+                             jnp.where(pos, 1.0, -1.0)))
+    tz = jnp.where(axis0, jnp.where(pos, -1.0, 1.0), 0.0)
+    # world tangent_j = sum_i tan_local_i * M[i, j]
+    tangent = soa.normalize(tuple(
+        tx * g[:, k] + tz * g[:, 6 + k] for k in range(3)))
+    bitangent = soa.cross(normal, tangent)
+    return p, normal, tangent, bitangent, front, u, v, mat
+
+
+def make_record_soa(scene: Scene, o, d, hit: Hit) -> HitRecordSoa:
+    """SoA twin of make_record: o, d are (x, y, z) tuples of [N] arrays."""
+    idx = hit.prim_idx
+    t_safe = jnp.where(hit.hit, hit.t, 1.0)
+    ns, nt = scene.spheres.count, scene.triangles.count
+    table = _packed_all(scene)
+    base = jnp.where(hit.prim_type == PRIM_TRIANGLE, ns,
+                     jnp.where(hit.prim_type == PRIM_BOX, ns + nt, 0))
+    g = table[jnp.clip(idx + base, 0, table.shape[0] - 1)]
+    is_sph = hit.prim_type == PRIM_SPHERE
+    is_tri = hit.prim_type == PRIM_TRIANGLE
+    is_box = hit.prim_type == PRIM_BOX
+    sel_row = lambda m, default: jnp.where(m[:, None], g, default)
+    sp = _sphere_record_soa(sel_row(is_sph, _SPHERE_DEFAULT_ROW), o, d, t_safe)
+    tp = _triangle_record_soa(sel_row(is_tri, _TRI_DEFAULT_ROW), o, d, t_safe)
+
+    def sel(mask, a, b):
+        if isinstance(a, tuple):
+            return soa.where(mask, b, a)
+        return jnp.where(mask, b, a)
+
+    parts = tuple(sel(is_tri, sp[i], tp[i]) for i in range(8))
+    if scene.boxes is not None:
+        bp = _box_record_soa(sel_row(is_box, _BOX_DEFAULT_ROW), o, d, t_safe)
+        parts = tuple(sel(is_box, parts[i], bp[i]) for i in range(8))
+    p, normal, tangent, bitangent, front, u, v, mat = parts
+    return HitRecordSoa(
+        t=hit.t, p=p, normal=normal, tangent=tangent, bitangent=bitangent,
+        front_face=front, u=u, v=v, mat=mat, hit=hit.hit,
+    )
+
+
+def ray_features_soa(o, d):
+    """SoA twin of ray_features: o, d component tuples -> [N, 16]."""
+    m = soa.cross(o, d)
+    od = soa.dot(o, d)
+    oo = soa.dot(o, o)
+    dd = soa.dot(d, d)
+    one = jnp.ones_like(od)
+    zero = jnp.zeros_like(od)
+    return jnp.stack(
+        [d[0], d[1], d[2], o[0], o[1], o[2], m[0], m[1], m[2],
+         od, oo, one, dd, zero, zero, zero], axis=-1,
+    )
+
+
+def intersect_soa(scene: Scene, o, d, tmin) -> Hit:
+    """SoA twin of intersect: o, d are component tuples of [N] arrays."""
+    if (scene.mm is not None and jax.default_backend() == "tpu"
+            and jnp.ndim(tmin) == 0
+            and not (scene.bvh is not None
+                     and scene.primitive_count >= BVH_MIN_PRIMS)):
+        from . import pallas_intersect
+
+        return pallas_intersect.intersect_brute_pallas_feats(
+            scene, ray_features_soa(o, d), tmin)
+    return intersect(scene, soa.pack(o), soa.pack(d), tmin)
 
 
 def make_record(scene: Scene, o, d, hit: Hit) -> HitRecord:

@@ -299,6 +299,25 @@ def _radix_order(minor_key, major_key, n_major):
     return _invert_perm(dest), dest
 
 
+def intersect_brute_pallas_feats(scene, feats, tmin, *,
+                                 interpret: bool = False) -> Hit:
+    """Closest hit from prebuilt ray features (intersect.ray_features_soa):
+    the SoA hot loop builds [N, 16] directly from component arrays, so no
+    [N, 3] o/d arrays ever materialize."""
+    tmin = jnp.asarray(tmin, jnp.float32).reshape(())
+    sbounds = _coarsen_bounds(scene.mm.sphere_bounds)
+    tbounds = _coarsen_bounds(scene.mm.tri_bounds)
+    bbounds = _coarsen_bounds(scene.mm.box_bounds)
+    t, idx, ptype = _closest_hit_call(
+        feats, scene.mm.sphere_coeff, scene.mm.tri_coeff, scene.mm.box_coeff,
+        sbounds, tbounds, bbounds, tmin,
+        n_spheres=scene.spheres.count, n_tris=scene.triangles.count,
+        n_boxes=scene.boxes.count if scene.boxes is not None else 0,
+        interpret=interpret,
+    )
+    return Hit(t=t, prim_type=ptype, prim_idx=idx, hit=t < T_MAX)
+
+
 def intersect_brute_pallas(scene, o, d, tmin, *, interpret: bool = False,
                            sort_rays: bool = False) -> Hit:
     """Closest hit over all primitives; drop-in for intersect_brute_mm.

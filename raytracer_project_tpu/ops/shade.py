@@ -15,7 +15,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..core import rng, vecmath
+from ..core import rng, soa, vecmath
 from ..core.constants import RAY_EPSILON
 from ..models import materials as mat_mod
 from ..models import textures as tex_mod
@@ -91,6 +91,111 @@ def get_albedo(scene: Scene, rec: HitRecord):
     # (isovolumetric doesn't override get_albedo, constant_medium.hpp:9-22).
     albedo = jnp.where((mtype == mat_mod.ISOTROPIC)[:, None], 0.0, albedo)
     return albedo
+
+
+def get_albedo_soa(scene: Scene, rec):
+    """SoA twin of get_albedo: rec is a HitRecordSoa, returns (r, g, b)."""
+    mtype, solid, _, texture_id, _, _ = _mat_fetch(scene, rec.mat)
+    tex = tex_mod.sample(
+        scene.textures, texture_id, rec.u, rec.v, soa.pack(rec.p), solid
+    )
+    tex3 = (tex[:, 0], tex[:, 1], tex[:, 2])
+    one = jnp.ones_like(tex[:, 0])
+    albedo = soa.where(mtype == mat_mod.DIELECTRIC, (one, one, one), tex3)
+    albedo = soa.where(mtype == mat_mod.EMISSIVE,
+                       tuple(jnp.minimum(c, 1.0) for c in tex3), albedo)
+    zero = jnp.zeros_like(one)
+    return soa.where(mtype == mat_mod.ISOTROPIC, (zero, zero, zero), albedo)
+
+
+class ScatterSoa(NamedTuple):
+    """SoA twin of Scatter: vector fields are (x, y, z) tuples of [N]."""
+
+    origin: tuple
+    direction: tuple
+    attenuation: tuple
+    emitted: tuple
+    scattered: jax.Array
+
+
+def scatter_soa(scene: Scene, rec, in_dir, lr: rng.LaneRng) -> ScatterSoa:
+    """SoA twin of scatter for the pooled-wavefront hot loop.
+
+    rec is a HitRecordSoa; in_dir a component tuple. Same material math and
+    identical random draws as scatter (the AoS oracle above); vectors stay
+    component tuples so no [N, 3] arrays materialize (core/soa.py).
+    Parity vs scatter is asserted in tests/test_shade.py.
+    """
+    mtype, solid, param, texture_id, bump_id, bump_strength = _mat_fetch(
+        scene, rec.mat
+    )
+    solid3 = (solid[:, 0], solid[:, 1], solid[:, 2])
+    tex = tex_mod.sample(
+        scene.textures, texture_id, rec.u, rec.v, soa.pack(rec.p), solid
+    )
+    tex3 = (tex[:, 0], tex[:, 1], tex[:, 2])
+
+    sphere_draw, choice_u = rng.draw_unit_vector_and_uniform_soa(
+        lr, rng.STREAM_SCATTER
+    )
+
+    # Bump (material.hpp:35-54): N' = normalize(N - f_u T - f_v B).
+    du, dv = tex_mod.sample_bump_deltas(
+        scene.textures, bump_id, rec.u, rec.v, _BUMP_DELTA
+    )
+    f_u = du * bump_strength
+    f_v = dv * bump_strength
+    n_b = tuple(rec.normal[k] - f_u * rec.tangent[k] - f_v * rec.bitangent[k]
+                for k in range(3))
+    working_n = soa.where(bump_id >= 0, soa.normalize(n_b), rec.normal)
+    unit_in = soa.normalize(in_dir)
+
+    # --- lambertian (material.hpp:74-96) ---
+    lam_dir = soa.add(working_n, sphere_draw)
+    lam_dir = soa.where(soa.near_zero(lam_dir), working_n, lam_dir)
+    eps_origin = soa.axpy(RAY_EPSILON, rec.normal, rec.p)
+
+    # --- metal (material.hpp:129-151) ---
+    reflected = soa.reflect(unit_in, working_n)
+    metal_dir = soa.normalize(soa.axpy(param, sphere_draw, reflected))
+    metal_ok = soa.dot(metal_dir, rec.normal) > 0.0
+
+    # --- dielectric (material.hpp:192-224, Schlick :237-241) ---
+    ri = jnp.where(rec.front_face, 1.0 / jnp.maximum(param, 1e-6), param)
+    cos_theta = jnp.minimum(soa.dot(soa.neg(unit_in), working_n), 1.0)
+    sin_theta = vecmath.safe_sqrt(1.0 - cos_theta * cos_theta)
+    cannot_refract = ri * sin_theta > 1.0
+    r0 = ((1.0 - ri) / (1.0 + ri)) ** 2
+    reflect_prob = r0 + (1.0 - r0) * (1.0 - cos_theta) ** 5
+    do_reflect = cannot_refract | (reflect_prob > choice_u)
+    refracted = soa.refract(unit_in, working_n, ri)
+    diel_dir = soa.where(do_reflect, reflected, refracted)
+    offset_out = soa.dot(diel_dir, rec.normal) > 0.0
+    diel_origin = soa.axpy(
+        jnp.where(offset_out, RAY_EPSILON, -RAY_EPSILON), rec.normal, rec.p
+    )
+
+    # --- select by type tag ---
+    is_lam = mtype == mat_mod.LAMBERTIAN
+    is_metal = mtype == mat_mod.METAL
+    is_diel = mtype == mat_mod.DIELECTRIC
+    is_iso = mtype == mat_mod.ISOTROPIC
+
+    direction = soa.where(is_lam, lam_dir,
+                soa.where(is_metal, metal_dir,
+                soa.where(is_diel, diel_dir, sphere_draw)))
+    origin = soa.where(is_lam | is_metal, eps_origin,
+             soa.where(is_diel, diel_origin, rec.p))
+
+    attenuation = soa.where(is_diel, solid3, tex3)
+    scattered = is_lam | (is_metal & metal_ok) | is_diel | is_iso
+    zero = jnp.zeros_like(tex[:, 0])
+    z3 = (zero, zero, zero)
+    emitted = soa.where(mtype == mat_mod.EMISSIVE, tex3, z3)
+
+    return ScatterSoa(origin=origin, direction=direction,
+                      attenuation=attenuation, emitted=emitted,
+                      scattered=scattered)
 
 
 def scatter(scene: Scene, rec: HitRecord, in_dir, keys) -> Scatter:

@@ -17,11 +17,15 @@ camera.hpp:30). Everything is static-shaped: respawn is a masked prefix-sum
 assignment, accumulation is scatter-add (both measured sub-millisecond on
 v5e for 262k lanes).
 
-Per-sample radiance is bit-identical to integrator.render_sample: lane
-randomness is keyed on (base key, sample, pixel, bounce) exactly as there,
-so pooling only changes the *order* in which finished samples are added
-into each pixel's accumulator (float-rounding-level differences vs the
-chunked path, same estimator).
+All per-lane vectors ride the loop as SoA component tuples (core/soa.py):
+the round-3 xplane trace showed ~24 ms/step of [P, 3] <-> [3, P] layout
+churn (transposes + 2.3%-dense lane tiles) at 262k lanes; component [P]
+arrays have exactly one layout and every vector op is dense elementwise.
+
+Per-sample radiance is bit-identical to integrator.render_sample up to
+float reassociation: lane randomness is keyed on (base key, sample, pixel,
+bounce) exactly as there, so pooling only changes the *order* in which
+finished samples are added into each pixel's accumulator.
 
 Reference parity notes: bounce-0 lanes reproduce the first-hit-reuse
 structure of camera.hpp:454-527 (shared first hit feeding beauty + AOVs +
@@ -37,7 +41,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..core import rng, vecmath
+from ..core import rng, soa
 from ..core.constants import (
     RR_P_MAX,
     RR_P_MIN,
@@ -68,13 +72,13 @@ class _PoolState(NamedTuple):
     samp: jax.Array        # i32[P] absolute sample index
     bounce: jax.Array      # i32[P] 0 = camera segment
     is_spec: jax.Array     # bool[P] reflection/refraction split-pass path
-    # Ray state.
-    origin: jax.Array      # f32[P,3]
-    direction: jax.Array   # f32[P,3]
-    throughput: jax.Array  # f32[P,3]
-    radiance: jax.Array    # f32[P,3]
+    # Ray state: (x, y, z) component tuples of f32[P] (core/soa.py).
+    origin: tuple
+    direction: tuple
+    throughput: tuple
+    radiance: tuple
     # Spec-pass routing decided at the first hit (camera.hpp:492-517).
-    attn0: jax.Array       # f32[P,3] first-hit attenuation
+    attn0: tuple           # first-hit attenuation
     to_refl: jax.Array     # bool[P]
     to_refr: jax.Array     # bool[P]
     # Enabled accumulators only (sums), stored as THREE 1-D [n_pixels + 1]
@@ -122,17 +126,8 @@ def _spawn(scene: Scene, cam, seed, config: RenderConfig, pixel_ids,
     # (camera.hpp:455,492), exactly like integrator.render_sample.
     lr0 = rng.LaneRng(seed, pix.astype(jnp.uint32), samp.astype(jnp.uint32),
                       jnp.uint32(0))
-    o, d = camera_mod.generate_rays(cam, lr0, pix, config.width)
+    o, d = camera_mod.generate_rays_soa(cam, lr0, pix, config.width)
     return li, pix, samp, is_spec, o, d
-
-
-def _morton_spread_u32(x):
-    """Spread the low 8 bits to every 3rd position (uint32, vectorized)."""
-    x = x & jnp.uint32(0xFF)
-    x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
-    x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
-    x = (x | (x << 2)) & jnp.uint32(0x09249249)
-    return x
 
 
 # Coherence-partition bucket count: 1 dead-lane bit + 3 direction-octant
@@ -145,24 +140,26 @@ def _coherence_order(origin, direction, live):
     """Lane permutation grouping rays by direction octant (major) then a
     coarse origin Morton cell (minor), dead lanes last.
 
-    Grouped pool blocks are directionally/spatially coherent, which is what
-    makes the Pallas intersector's per-block chunk culling effective on
-    secondary bounces (primary blocks are naturally coherent). Implemented
-    as a single stable counting-sort pass over a small bucket key: a full
-    argsort costs ~57 ms/step on v5e (XLA bitonic sort), the bucket
-    partition runs in ~1 ms. Pure scheduling: lane randomness is
-    (sample, pixel)-keyed, so reordering never changes any sample's value.
+    origin/direction are SoA component tuples. Grouped pool blocks are
+    directionally/spatially coherent, which is what makes the Pallas
+    intersector's per-block chunk culling effective on secondary bounces
+    (primary blocks are naturally coherent). Implemented as a single stable
+    counting-sort pass over a small bucket key: a full argsort costs
+    ~57 ms/step on v5e (XLA bitonic sort), the bucket partition runs in
+    ~1 ms. Pure scheduling: lane randomness is (sample, pixel)-keyed, so
+    reordering never changes any sample's value.
     """
-    p = origin.shape[0]
-    lo = jnp.min(origin, axis=0)
-    span = jnp.maximum(jnp.max(origin, axis=0) - lo, 1e-6)
-    q = (origin - lo) / span  # [0, 1] per axis
-    half = lambda v: (v > 0.5).astype(jnp.uint32)
-    morton = (half(q[:, 0]) << 2) | (half(q[:, 1]) << 1) | half(q[:, 2])
+    p = origin[0].shape[0]
+    half = []
+    for c in origin:
+        lo = jnp.min(c)
+        span = jnp.maximum(jnp.max(c) - lo, 1e-6)
+        half.append((((c - lo) / span) > 0.5).astype(jnp.uint32))
+    morton = (half[0] << 2) | (half[1] << 1) | half[2]
     octant = (
-        ((direction[:, 0] > 0).astype(jnp.uint32) << 2)
-        | ((direction[:, 1] > 0).astype(jnp.uint32) << 1)
-        | (direction[:, 2] > 0).astype(jnp.uint32)
+        ((direction[0] > 0).astype(jnp.uint32) << 2)
+        | ((direction[1] > 0).astype(jnp.uint32) << 1)
+        | (direction[2] > 0).astype(jnp.uint32)
     )
     bkey = (
         ((~live).astype(jnp.uint32) << 6) | (octant << 3) | morton
@@ -181,6 +178,27 @@ def _coherence_order(origin, direction, live):
     # Invert: order[dest[i]] = i  (dest is a permutation).
     return jnp.zeros((p,), jnp.int32).at[dest].set(
         jnp.arange(p, dtype=jnp.int32)
+    )
+
+
+def _volumes_soa(volumes, o, d, hit, rec, lr):
+    """Participating-media pass through the AoS implementation: pack the
+    SoA record at this (cold, volumes-only) boundary and unpack the result.
+    Scenes without volumes never reach this."""
+    o_a, d_a = soa.pack(o), soa.pack(d)
+    rec_a = intersect.HitRecord(
+        t=rec.t, p=soa.pack(rec.p), normal=soa.pack(rec.normal),
+        tangent=soa.pack(rec.tangent), bitangent=soa.pack(rec.bitangent),
+        front_face=rec.front_face, u=rec.u, v=rec.v, mat=rec.mat,
+        hit=rec.hit,
+    )
+    out = volumes_mod.apply_to_record(volumes, o_a, d_a, hit, rec_a, lr)
+    return intersect.HitRecordSoa(
+        t=out.t, p=soa.unpack(out.p), normal=soa.unpack(out.normal),
+        tangent=soa.unpack(out.tangent),
+        bitangent=soa.unpack(out.bitangent),
+        front_face=out.front_face, u=out.u, v=out.v, mat=out.mat,
+        hit=out.hit,
     )
 
 
@@ -234,6 +252,8 @@ def make_pool(scene: Scene, cam: camera_mod.Camera, env, key,
         identity_pixels,
     )
     f = jnp.zeros((p,), bool)
+    ones3 = lambda: tuple(jnp.ones((p,), jnp.float32) for _ in range(3))
+    zeros3 = lambda: tuple(jnp.zeros((p,), jnp.float32) for _ in range(3))
     state = _PoolState(
         next_work=jnp.asarray(min(p, total_work), jnp.int32),
         live=w0 < total_work,
@@ -241,9 +261,9 @@ def make_pool(scene: Scene, cam: camera_mod.Camera, env, key,
         bounce=jnp.zeros((p,), jnp.int32),
         is_spec=is_spec,
         origin=o, direction=d,
-        throughput=jnp.ones((p, 3), jnp.float32),
-        radiance=jnp.zeros((p, 3), jnp.float32),
-        attn0=jnp.ones((p, 3), jnp.float32),
+        throughput=ones3(),
+        radiance=zeros3(),
+        attn0=ones3(),
         to_refl=f, to_refr=f,
         acc=acc0,
         segments=jnp.zeros((), jnp.float32),
@@ -251,12 +271,12 @@ def make_pool(scene: Scene, cam: camera_mod.Camera, env, key,
     )
 
     def scatter_add(acc, name, mask, slot, val):
-        """acc[name.{xyz}][n+1] += val[:, c] where mask (masked lanes hit
-        the overflow slot); mutates the dict in place, returns it."""
+        """acc[name.{xyz}][n+1] += val[c] where mask (masked lanes hit
+        the overflow slot); val is an (x, y, z) component tuple."""
         tgt = jnp.where(mask, slot, n)
         for ci, c in enumerate("xyz"):
             acc[f"{name}.{c}"] = acc[f"{name}.{c}"].at[tgt].add(
-                jnp.where(mask, val[:, ci], 0.0)
+                jnp.where(mask, val[ci], 0.0)
             )
         return acc
 
@@ -273,44 +293,51 @@ def make_pool(scene: Scene, cam: camera_mod.Camera, env, key,
             | s.is_spec.astype(jnp.uint32),
         )
 
-        hit = intersect.intersect(scene, s.origin, s.direction, T_MIN)
-        rec = intersect.make_record(scene, s.origin, s.direction, hit)
+        hit = intersect.intersect_soa(scene, s.origin, s.direction, T_MIN)
+        rec = intersect.make_record_soa(scene, s.origin, s.direction, hit)
         if scene.volumes is not None:
-            rec = volumes_mod.apply_to_record(
-                scene.volumes, s.origin, s.direction, hit, rec, lr
-            )
-        bg = env_mod.background_color(env, s.direction, config.env_mode)
-        sc = shade.scatter(scene, rec, s.direction, lr)
+            rec = _volumes_soa(scene.volumes, s.origin, s.direction, hit,
+                               rec, lr)
+        bg = env_mod.background_color_soa(env, s.direction, config.env_mode)
+        sc = shade.scatter_soa(scene, rec, s.direction, lr)
 
         # --- radiance / path-state update (trace body semantics) ---
         # Spec paths skip first-hit emission: their trace starts *after* the
         # first scatter with throughput 1 (camera.hpp:494-498).
         emit_ok = ~(at0 & s.is_spec)
         miss = s.live & ~rec.hit
-        radiance = s.radiance + jnp.where(miss[:, None], s.throughput * bg, 0.0)
+        radiance = tuple(
+            s.radiance[k]
+            + jnp.where(miss, s.throughput[k] * bg[k], 0.0)
+            for k in range(3)
+        )
         active = s.live & rec.hit
-        radiance = radiance + jnp.where(
-            (active & emit_ok)[:, None], s.throughput * sc.emitted, 0.0
+        emit_lanes = active & emit_ok
+        radiance = tuple(
+            radiance[k]
+            + jnp.where(emit_lanes, s.throughput[k] * sc.emitted[k], 0.0)
+            for k in range(3)
         )
-        throughput = jnp.where(
-            (active & sc.scattered & emit_ok)[:, None],
-            s.throughput * sc.attenuation,
-            s.throughput,
-        )
+        gain = active & sc.scattered & emit_ok
+        throughput = soa.where(gain, soa.mul(s.throughput, sc.attenuation),
+                               s.throughput)
         active = active & sc.scattered
 
         # Weak-ray cutoff + Russian roulette: late = trace-local bounce
         # (bounce - 1) strictly past RR_START_BOUNCE (camera.hpp:967-983);
         # never fires on the camera segment.
         late = (s.bounce - 1) > RR_START_BOUNCE
-        weak = late & (vecmath.length(throughput) < WEAK_RAY_EPS)
+        weak = late & (soa.length(throughput) < WEAK_RAY_EPS)
         active = active & ~weak
-        p_rr = jnp.clip(jnp.max(throughput, axis=-1), RR_P_MIN, RR_P_MAX)
+        p_rr = jnp.clip(
+            jnp.maximum(throughput[0],
+                        jnp.maximum(throughput[1], throughput[2])),
+            RR_P_MIN, RR_P_MAX,
+        )
         u = rng.draw_uniform(lr, rng.STREAM_RR)
         active = active & ~(late & (u > p_rr))
-        throughput = jnp.where(
-            (late & active)[:, None], throughput / p_rr[:, None], throughput
-        )
+        throughput = soa.where(late & active,
+                               soa.scale(throughput, 1.0 / p_rr), throughput)
 
         # Depth exhausted: the continuation runs bounces 1..max_depth-1.
         active = active & (s.bounce + 1 < config.max_depth)
@@ -320,10 +347,10 @@ def make_pool(scene: Scene, cam: camera_mod.Camera, env, key,
         to_refl, to_refr, attn0 = s.to_refl, s.to_refr, s.attn0
         if want_spec:
             spec0 = at0 & s.is_spec & s.live
-            unit_d = vecmath.normalize(s.direction)
-            refl_dir = vecmath.reflect(unit_d, vecmath.normalize(rec.normal))
-            is_specular = vecmath.dot(vecmath.normalize(sc.direction), refl_dir) > 0.9
-            entering = vecmath.dot(sc.direction, rec.normal) < 0.0
+            unit_d = soa.normalize(s.direction)
+            refl_dir = soa.reflect(unit_d, soa.normalize(rec.normal))
+            is_specular = soa.dot(soa.normalize(sc.direction), refl_dir) > 0.9
+            entering = soa.dot(sc.direction, rec.normal) < 0.0
             spec_live = rec.hit & sc.scattered
             to_refl = jnp.where(
                 spec0, spec_live & is_specular & config.use_reflection, s.to_refl
@@ -333,7 +360,7 @@ def make_pool(scene: Scene, cam: camera_mod.Camera, env, key,
                 spec_live & ~is_specular & entering & config.use_refraction,
                 s.to_refr,
             )
-            attn0 = jnp.where(spec0[:, None], sc.attenuation, s.attn0)
+            attn0 = soa.where(spec0, sc.attenuation, s.attn0)
             # Spec paths routed to neither buffer are dead work: kill now.
             active = active & ~(spec0 & ~(to_refl | to_refr))
 
@@ -341,20 +368,22 @@ def make_pool(scene: Scene, cam: camera_mod.Camera, env, key,
         acc = dict(s.acc)
         cam0 = at0 & ~s.is_spec & s.live
         is_aux = cam0 & (s.samp < aux)
+        zero = jnp.zeros_like(rec.u)
         if config.use_albedo:
-            albedo = jnp.where(rec.hit[:, None], shade.get_albedo(scene, rec), 0.0)
+            alb = shade.get_albedo_soa(scene, rec)
+            albedo = soa.where(rec.hit, alb, (zero, zero, zero))
             acc = scatter_add(acc, "albedo", is_aux, s.li, albedo)
         if config.use_normal:
-            normal = jnp.where(
-                rec.hit[:, None],
-                camera_mod.view_space_normal_color(cam, rec.normal),
-                jnp.asarray([0.5, 0.5, 1.0]),
-            )
+            nc = camera_mod.view_space_normal_color_soa(cam, rec.normal)
+            half = jnp.full_like(rec.u, 0.5)
+            one = jnp.ones_like(rec.u)
+            normal = soa.where(rec.hit, nc, (half, half, one))
             acc = scatter_add(acc, "normal", is_aux, s.li, normal)
         if config.use_z_depth:
             zval = 1.0 - jnp.clip(rec.t / config.z_depth_max_dist, 0.0, 1.0)
-            z = jnp.where(rec.hit[:, None], zval[:, None], 0.0) * jnp.ones((1, 3))
-            acc = scatter_add(acc, "z_depth", is_aux, s.li, z)
+            zval = jnp.where(rec.hit, zval, 0.0)
+            acc = scatter_add(acc, "z_depth", is_aux, s.li,
+                              (zval, zval, zval))
 
         # --- finished paths -> accumulators ---
         done = s.live & ~active
@@ -363,9 +392,9 @@ def make_pool(scene: Scene, cam: camera_mod.Camera, env, key,
         if want_spec:
             # Firefly clamp on the continuation color, then modulate by the
             # stored first-hit attenuation (camera.hpp:499-509).
-            luma = 0.2126 * vecmath.length(radiance)
+            luma = 0.2126 * soa.length(radiance)
             scale = jnp.where(luma > 2.0, 2.0 / jnp.maximum(luma, 1e-12), 1.0)
-            contrib = attn0 * (radiance * scale[:, None])
+            contrib = soa.mul(attn0, soa.scale(radiance, scale))
             acc = scatter_add(acc, "reflection", done & to_refl, s.li, contrib)
             acc = scatter_add(acc, "refraction", done & to_refr, s.li, contrib)
 
@@ -383,9 +412,10 @@ def make_pool(scene: Scene, cam: camera_mod.Camera, env, key,
             scene, cam, seed, config, pixel_ids, sample_offset, n_beauty,
             jnp.clip(new_w, 0, total_work - 1), identity_pixels,
         )
-        sel = lambda fresh, old: jnp.where(
-            can_spawn[:, None] if old.ndim == 2 else can_spawn, fresh, old
-        )
+        sel = lambda fresh, old: jnp.where(can_spawn, fresh, old)
+        sel3 = lambda fresh, old: soa.where(can_spawn, fresh, old)
+        one3 = tuple(jnp.ones((p,), jnp.float32) for _ in range(3))
+        zero3 = tuple(jnp.zeros((p,), jnp.float32) for _ in range(3))
         ns = _PoolState(
             next_work=s.next_work + n_spawned,
             live=(s.live & active) | can_spawn,
@@ -394,11 +424,11 @@ def make_pool(scene: Scene, cam: camera_mod.Camera, env, key,
             samp=sel(ssamp, s.samp),
             bounce=jnp.where(can_spawn, 0, s.bounce + 1),
             is_spec=sel(sspec, s.is_spec),
-            origin=sel(so, jnp.where(active[:, None], sc.origin, s.origin)),
-            direction=sel(sd, jnp.where(active[:, None], sc.direction, s.direction)),
-            throughput=sel(jnp.ones((p, 3), jnp.float32), throughput),
-            radiance=sel(jnp.zeros((p, 3), jnp.float32), radiance),
-            attn0=sel(jnp.ones((p, 3), jnp.float32), attn0),
+            origin=sel3(so, soa.where(active, sc.origin, s.origin)),
+            direction=sel3(sd, soa.where(active, sc.direction, s.direction)),
+            throughput=sel3(one3, throughput),
+            radiance=sel3(zero3, radiance),
+            attn0=sel3(one3, attn0),
             to_refl=sel(f, to_refl),
             to_refr=sel(f, to_refr),
             acc=acc,
@@ -420,16 +450,19 @@ def make_pool(scene: Scene, cam: camera_mod.Camera, env, key,
             ns.is_spec.astype(f32), ns.to_refl.astype(f32),
             ns.to_refr.astype(f32),
         ], axis=-1)[order]
+        vec_packed = jnp.stack(
+            list(ns.origin) + list(ns.direction) + list(ns.throughput)
+            + list(ns.radiance) + list(ns.attn0), axis=-1,
+        )[order]
+        vp = lambda k: (vec_packed[:, 3 * k], vec_packed[:, 3 * k + 1],
+                        vec_packed[:, 3 * k + 2])
         i32 = lambda k: packed[:, k].astype(jnp.int32)
         return ns._replace(
             live=packed[:, 0] > 0.5, li=i32(1), pix=i32(2),
             samp=i32(3), bounce=i32(4),
             is_spec=packed[:, 5] > 0.5,
-            origin=ns.origin[order],
-            direction=ns.direction[order],
-            throughput=ns.throughput[order],
-            radiance=ns.radiance[order],
-            attn0=ns.attn0[order],
+            origin=vp(0), direction=vp(1), throughput=vp(2),
+            radiance=vp(3), attn0=vp(4),
             to_refl=packed[:, 6] > 0.5, to_refr=packed[:, 7] > 0.5,
         )
 
@@ -442,8 +475,9 @@ def render_pool(scene: Scene, cam: camera_mod.Camera, env, key,
     """Pooled-wavefront accumulation: drop-in for accumulate_samples.
 
     Returns per-pixel *sums* over `config.samples_per_pixel` samples, same
-    contract (and same per-sample values) as integrator.accumulate_samples.
-    Requires the non-differentiable path (uses while_loop + scatter-add).
+    contract (and same per-sample values up to float reassociation) as
+    integrator.accumulate_samples. Requires the non-differentiable path
+    (uses while_loop + scatter-add).
 
     with_stats: also return {"segments", "steps"} — the measured number of
     path segments traced (the quantity the reference UI's

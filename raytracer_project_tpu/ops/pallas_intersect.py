@@ -73,8 +73,14 @@ def _closest_hit_kernel(tmin_ref, feats_ref, scoeff_ref, tcoeff_ref,
                         bcoeff_ref, sbounds_ref, tbounds_ref, bbounds_ref,
                         t_ref, idx_ref, type_ref,
                         *, n_spheres: int, n_tris: int, n_boxes: int):
-    """One ray block vs the whole scene; scene tables live in VMEM."""
-    feats = feats_ref[:]                      # [B, 16]
+    """One ray block vs the whole scene; scene tables live in VMEM.
+
+    feats_ref is TRANSPOSED [16, B]: the host-side stack of 16 component
+    rows is a dense contiguous write, where assembling [B, 16] in XLA costs
+    a 16-way [P, 1] concatenate (~3 ms at 262k lanes). The in-kernel
+    transpose back to [B, 16] is a VMEM-local relayout (~us).
+    """
+    feats = feats_ref[:].T                    # [B, 16]
     b = feats.shape[0]
     a = feats[:, 12:13]                       # |d|^2 (ray_features col 12)
     tmin = jnp.full((b,), tmin_ref[0, 0])
@@ -178,10 +184,10 @@ def _closest_hit_kernel(tmin_ref, feats_ref, scoeff_ref, tcoeff_ref,
                                               "interpret"))
 def _closest_hit_call(feats, scoeff, tcoeff, bcoeff, sbounds, tbounds, bbounds,
                       tmin, *, n_spheres, n_tris, n_boxes, interpret=False):
-    n = feats.shape[0]
+    n = feats.shape[1]
     n_pad = -(-n // BLOCK_RAYS) * BLOCK_RAYS
     if n_pad != n:
-        feats = jnp.pad(feats, ((0, n_pad - n), (0, 0)))
+        feats = jnp.pad(feats, ((0, 0), (0, n_pad - n)))
     grid = (n_pad // BLOCK_RAYS,)
 
     kernel = functools.partial(
@@ -193,7 +199,7 @@ def _closest_hit_call(feats, scoeff, tcoeff, bcoeff, sbounds, tbounds, bbounds,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((BLOCK_RAYS, RAY_FEATURE_DIM), lambda i: (i, 0),
+            pl.BlockSpec((RAY_FEATURE_DIM, BLOCK_RAYS), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(scoeff.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -341,7 +347,7 @@ def intersect_brute_pallas(scene, o, d, tmin, *, interpret: bool = False,
         chunk_key, octant, n_major = _sort_key(o, d, bounds)
         order, dest = _radix_order(octant, chunk_key, n_major)
         o, d = o[order], d[order]
-    feats = ray_features(o, d)
+    feats = ray_features(o, d).T
     t, idx, ptype = _closest_hit_call(
         feats, scene.mm.sphere_coeff, scene.mm.tri_coeff, scene.mm.box_coeff,
         sbounds, tbounds, bbounds, tmin,

@@ -104,6 +104,59 @@ def sample(bank: TextureBank, tex_id, u, v, p, default):
     return jnp.where(tex_id[..., None] < 0, default, color)
 
 
+def sample_soa(bank: TextureBank, tex_id, u, v, p, default):
+    """SoA twin of sample: p and default are (x, y, z) component tuples of
+    [N] arrays; returns an (r, g, b) tuple.
+
+    Per-texture metadata and texel colors come from 1-D gathers out of
+    transposed compile-time-constant tables: a [N, C] row gather pads its
+    minor dim to 128 lanes on TPU and every column read re-streams the
+    padded tiles (see ops.intersect.make_record_soa).
+    """
+    tid = jnp.maximum(tex_id, 0)
+    f32 = jnp.float32
+    meta_cols = (
+        bank.kind.astype(f32), bank.size[:, 0].astype(f32),
+        bank.size[:, 1].astype(f32), bank.checker_inv_scale,
+        bank.checker_even[:, 0], bank.checker_even[:, 1],
+        bank.checker_even[:, 2], bank.checker_odd[:, 0],
+        bank.checker_odd[:, 1], bank.checker_odd[:, 2],
+    )
+    m = tuple(jnp.asarray(c, f32)[tid] for c in meta_cols)
+    kind = m[0].astype(jnp.int32)
+    w = m[1].astype(jnp.int32)
+    h = m[2].astype(jnp.int32)
+
+    # Image path (texture.hpp:56-75): wrap u, scale, clamp to edge.
+    uu = u - jnp.floor(u)
+    i = jnp.clip((uu * w).astype(jnp.int32), 0, jnp.maximum(w - 1, 0))
+    j = jnp.clip((v * h).astype(jnp.int32), 0, jnp.maximum(h - 1, 0))
+    ah, aw = bank.data.shape[1], bank.data.shape[2]
+    row = (tid * ah + j) * aw + i
+    flat = jnp.reshape(jnp.transpose(bank.data, (3, 0, 1, 2)), (3, -1))
+    image_color = tuple(flat[c][row] for c in range(3))
+
+    # Checker path (texture.hpp:118-126): parity of floored world coords.
+    inv_scale = m[3]
+    is_even = (
+        jnp.floor(inv_scale * p[0]).astype(jnp.int32)
+        + jnp.floor(inv_scale * p[1]).astype(jnp.int32)
+        + jnp.floor(inv_scale * p[2]).astype(jnp.int32)
+    ) % 2 == 0
+    checker_color = tuple(
+        jnp.where(is_even, m[4 + c], m[7 + c]) for c in range(3)
+    )
+
+    is_image = kind == KIND_IMAGE
+    missing = kind == KIND_MISSING
+    out = []
+    for c in range(3):
+        col = jnp.where(is_image, image_color[c], checker_color[c])
+        col = jnp.where(missing, float(_CYAN[c]), col)
+        out.append(jnp.where(tex_id < 0, default[c], col))
+    return tuple(out)
+
+
 def sample_bump_deltas(bank: TextureBank, tex_id, u, v, delta):
     """Finite-difference bump taps (h(u+delta,v)-h(u,v), h(u,v+delta)-h(u,v))
     with ONE texel gather.
@@ -117,26 +170,29 @@ def sample_bump_deltas(bank: TextureBank, tex_id, u, v, delta):
     Returns (f_u [N], f_v [N]); zero where tex_id < 0.
     """
     tid = jnp.maximum(tex_id, 0)
-    meta = jnp.concatenate(
-        [bank.size.astype(jnp.float32),
-         jnp.zeros((bank.count, 0), jnp.float32)], axis=1,
-    )[tid]
-    w = meta[:, 0].astype(jnp.int32)
-    h = meta[:, 1].astype(jnp.int32)
+    # Per-component 1-D gathers: a [N, 2] row gather pads its minor dim to
+    # 128 lanes on TPU and re-streams the padded tiles on every column
+    # read (see ops.intersect.make_record_soa).
+    f32 = jnp.float32
+    w = jnp.asarray(bank.size[:, 0], f32)[tid].astype(jnp.int32)
+    h = jnp.asarray(bank.size[:, 1], f32)[tid].astype(jnp.int32)
 
     uu = u - jnp.floor(u)
     i = jnp.clip((uu * w).astype(jnp.int32), 0, jnp.maximum(w - 1, 0))
     j = jnp.clip((v * h).astype(jnp.int32), 0, jnp.maximum(h - 1, 0))
     ah, aw = bank.grad.shape[1], bank.grad.shape[2]
-    g = bank.grad.reshape(-1, 2)[(tid * ah + j) * aw + i]    # [N, 2]
+    gflat = jnp.reshape(jnp.transpose(bank.grad, (3, 0, 1, 2)), (2, -1))
+    row = (tid * ah + j) * aw + i
+    g_u = gflat[0][row]
+    g_v = gflat[1][row]
 
     u2 = u + delta
     uu2 = u2 - jnp.floor(u2)
     i2 = jnp.clip((uu2 * w).astype(jnp.int32), 0, jnp.maximum(w - 1, 0))
     j2 = jnp.clip(((v + delta) * h).astype(jnp.int32), 0,
                   jnp.maximum(h - 1, 0))
-    f_u = jnp.where((i2 != i) & (tex_id >= 0), g[:, 0], 0.0)
-    f_v = jnp.where((j2 != j) & (tex_id >= 0), g[:, 1], 0.0)
+    f_u = jnp.where((i2 != i) & (tex_id >= 0), g_u, 0.0)
+    f_v = jnp.where((j2 != j) & (tex_id >= 0), g_v, 0.0)
     return f_u, f_v
 
 

@@ -959,10 +959,16 @@ class HitRecordSoa(NamedTuple):
 
 
 def _sphere_record_soa(g, o, d, t):
-    """SoA twin of _sphere_record_from (sphere.hpp:40-59)."""
-    center = (g[:, 0], g[:, 1], g[:, 2])
-    radius = jnp.maximum(jnp.abs(g[:, 3]), 1e-6)
-    mat = g[:, 4].astype(jnp.int32)
+    """SoA twin of _sphere_record_from (sphere.hpp:40-59).
+
+    g is a tuple of per-column [N] arrays (cols 0:5 used): the former
+    [N, 28] row-gather matrix pads its minor dim 28 -> 128 lanes on TPU
+    (4.6x memory bloat) and every column read re-streams the padded tiles
+    — measured ~18 ms/step at 262k lanes; per-component 1-D arrays tile
+    densely."""
+    center = (g[0], g[1], g[2])
+    radius = jnp.maximum(jnp.abs(g[3]), 1e-6)
+    mat = g[4].astype(jnp.int32)
     p = soa.axpy(t, d, o)
     outward = soa.scale(soa.sub(p, center), 1.0 / radius)
     front = soa.dot(d, outward) < 0.0
@@ -984,15 +990,16 @@ def _sphere_record_soa(g, o, d, t):
 
 
 def _triangle_record_soa(g, o, d, t):
-    """SoA twin of _triangle_record_from (triangle.hpp:56-79)."""
-    v0 = (g[:, 0], g[:, 1], g[:, 2])
-    e1 = (g[:, 3], g[:, 4], g[:, 5])
-    e2 = (g[:, 6], g[:, 7], g[:, 8])
-    n0 = (g[:, 9], g[:, 10], g[:, 11])
-    n1 = (g[:, 12], g[:, 13], g[:, 14])
-    n2 = (g[:, 15], g[:, 16], g[:, 17])
-    tangent = (g[:, 24], g[:, 25], g[:, 26])
-    mat = g[:, 27].astype(jnp.int32)
+    """SoA twin of _triangle_record_from (triangle.hpp:56-79); g is a tuple
+    of per-column [N] arrays (see _sphere_record_soa)."""
+    v0 = (g[0], g[1], g[2])
+    e1 = (g[3], g[4], g[5])
+    e2 = (g[6], g[7], g[8])
+    n0 = (g[9], g[10], g[11])
+    n1 = (g[12], g[13], g[14])
+    n2 = (g[15], g[16], g[17])
+    tangent = (g[24], g[25], g[26])
+    mat = g[27].astype(jnp.int32)
     p = soa.axpy(t, d, o)
 
     geo_n = soa.cross(e1, e2)
@@ -1009,21 +1016,22 @@ def _triangle_record_soa(g, o, d, t):
     front = soa.dot(d, smooth) < 0.0
     normal = soa.where(front, smooth, soa.neg(smooth))
 
-    uu = w * g[:, 18] + u * g[:, 20] + v * g[:, 22]
-    vv = w * g[:, 19] + u * g[:, 21] + v * g[:, 23]
+    uu = w * g[18] + u * g[20] + v * g[22]
+    vv = w * g[19] + u * g[21] + v * g[23]
     bitangent = soa.cross(normal, tangent)
     return p, normal, tangent, bitangent, front, uu, vv, mat
 
 
 def _box_record_soa(g, o, d, t):
     """SoA twin of _box_record_from (cube.hpp:100-142): the face one-hot
-    tables become explicit axis/sign selects."""
-    mat = g[:, 12].astype(jnp.int32)
+    tables become explicit axis/sign selects. g is a tuple of per-column
+    [N] arrays, cols 0:13 used (see _sphere_record_soa)."""
+    mat = g[12].astype(jnp.int32)
     p = soa.axpy(t, d, o)
-    # l = M p + trans, rows of M in g[:, 0:9], trans in g[:, 9:12].
+    # l = M p + trans, rows of M in g[0:9], trans in g[9:12].
     l = tuple(
-        g[:, 3 * k] * p[0] + g[:, 3 * k + 1] * p[1] + g[:, 3 * k + 2] * p[2]
-        + g[:, 9 + k]
+        g[3 * k] * p[0] + g[3 * k + 1] * p[1] + g[3 * k + 2] * p[2]
+        + g[9 + k]
         for k in range(3)
     )
     ax, ay, az = jnp.abs(l[0]), jnp.abs(l[1]), jnp.abs(l[2])
@@ -1036,7 +1044,7 @@ def _box_record_soa(g, o, d, t):
 
     # outward = normalize(sign * M[axis, :]) (inverse-transpose row).
     row = tuple(
-        jnp.where(axis0, g[:, k], jnp.where(axis1, g[:, 3 + k], g[:, 6 + k]))
+        jnp.where(axis0, g[k], jnp.where(axis1, g[3 + k], g[6 + k]))
         for k in range(3)
     )
     outward = soa.normalize(soa.scale(row, sign))
@@ -1069,26 +1077,45 @@ def _box_record_soa(g, o, d, t):
     tz = jnp.where(axis0, jnp.where(pos, -1.0, 1.0), 0.0)
     # world tangent_j = sum_i tan_local_i * M[i, j]
     tangent = soa.normalize(tuple(
-        tx * g[:, k] + tz * g[:, 6 + k] for k in range(3)))
+        tx * g[k] + tz * g[6 + k] for k in range(3)))
     bitangent = soa.cross(normal, tangent)
     return p, normal, tangent, bitangent, front, u, v, mat
 
 
 def make_record_soa(scene: Scene, o, d, hit: Hit) -> HitRecordSoa:
-    """SoA twin of make_record: o, d are (x, y, z) tuples of [N] arrays."""
+    """SoA twin of make_record: o, d are (x, y, z) tuples of [N] arrays.
+
+    The shading columns come from per-component 1-D gathers out of the
+    transposed (compile-time-constant) packed table: a single [N, 28] row
+    gather pads its minor dim to 128 lanes on TPU and the decoders' column
+    reads then re-stream the padded tiles — measured ~18 ms/step at 262k
+    lanes; 28 dense 1-D f32 gathers cost ~1 ms total."""
     idx = hit.prim_idx
     t_safe = jnp.where(hit.hit, hit.t, 1.0)
     ns, nt = scene.spheres.count, scene.triangles.count
     table = _packed_all(scene)
+    table_t = jnp.transpose(table)        # [28, Ntot]; folded at compile
     base = jnp.where(hit.prim_type == PRIM_TRIANGLE, ns,
                      jnp.where(hit.prim_type == PRIM_BOX, ns + nt, 0))
-    g = table[jnp.clip(idx + base, 0, table.shape[0] - 1)]
+    row = jnp.clip(idx + base, 0, table.shape[0] - 1)
+    g = tuple(table_t[k][row] for k in range(_PACK_COLS))
     is_sph = hit.prim_type == PRIM_SPHERE
     is_tri = hit.prim_type == PRIM_TRIANGLE
     is_box = hit.prim_type == PRIM_BOX
-    sel_row = lambda m, default: jnp.where(m[:, None], g, default)
-    sp = _sphere_record_soa(sel_row(is_sph, _SPHERE_DEFAULT_ROW), o, d, t_safe)
-    tp = _triangle_record_soa(sel_row(is_tri, _TRI_DEFAULT_ROW), o, d, t_safe)
+
+    def sel_cols(mask, default, ncols):
+        """Benign default-row components for wrong-type lanes; columns a
+        decoder never reads stay as cheap zeros."""
+        zero = jnp.zeros_like(g[0])
+        return tuple(
+            jnp.where(mask, g[k], float(default[k])) if k < ncols else zero
+            for k in range(_PACK_COLS)
+        )
+
+    sp = _sphere_record_soa(sel_cols(is_sph, _SPHERE_DEFAULT_ROW, 5),
+                            o, d, t_safe)
+    tp = _triangle_record_soa(sel_cols(is_tri, _TRI_DEFAULT_ROW, 28),
+                              o, d, t_safe)
 
     def sel(mask, a, b):
         if isinstance(a, tuple):
@@ -1097,7 +1124,8 @@ def make_record_soa(scene: Scene, o, d, hit: Hit) -> HitRecordSoa:
 
     parts = tuple(sel(is_tri, sp[i], tp[i]) for i in range(8))
     if scene.boxes is not None:
-        bp = _box_record_soa(sel_row(is_box, _BOX_DEFAULT_ROW), o, d, t_safe)
+        bp = _box_record_soa(sel_cols(is_box, _BOX_DEFAULT_ROW, 13),
+                             o, d, t_safe)
         parts = tuple(sel(is_box, parts[i], bp[i]) for i in range(8))
     p, normal, tangent, bitangent, front, u, v, mat = parts
     return HitRecordSoa(

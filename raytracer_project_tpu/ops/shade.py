@@ -47,6 +47,26 @@ def _mat_fetch(scene: Scene, mat_ids):
             packed[:, 7])
 
 
+def _mat_fetch_soa(scene: Scene, mat_ids):
+    """SoA twin of _mat_fetch: per-component 1-D gathers.
+
+    A single [N, 8] row gather pads its minor dim to 128 lanes on TPU and
+    every column read re-streams the padded tiles (see
+    intersect.make_record_soa); eight dense 1-D f32 gathers from the
+    compile-time-constant material columns cost ~0.3 ms at 262k lanes.
+    Returns (mtype i32[N], albedo (r, g, b) tuple, param f32[N],
+    texture_id i32[N], bump_id i32[N], bump_strength f32[N]).
+    """
+    m = scene.materials
+    f32 = jnp.float32
+    cols = (m.albedo[:, 0], m.albedo[:, 1], m.albedo[:, 2], m.param,
+            m.mtype.astype(f32), m.texture_id.astype(f32),
+            m.bump_id.astype(f32), m.bump_strength)
+    g = tuple(jnp.asarray(c, f32)[mat_ids] for c in cols)
+    return (g[4].astype(jnp.int32), (g[0], g[1], g[2]), g[3],
+            g[5].astype(jnp.int32), g[6].astype(jnp.int32), g[7])
+
+
 class Scatter(NamedTuple):
     """Result of one shading event (all [N])."""
 
@@ -95,12 +115,11 @@ def get_albedo(scene: Scene, rec: HitRecord):
 
 def get_albedo_soa(scene: Scene, rec):
     """SoA twin of get_albedo: rec is a HitRecordSoa, returns (r, g, b)."""
-    mtype, solid, _, texture_id, _, _ = _mat_fetch(scene, rec.mat)
-    tex = tex_mod.sample(
-        scene.textures, texture_id, rec.u, rec.v, soa.pack(rec.p), solid
+    mtype, solid3, _, texture_id, _, _ = _mat_fetch_soa(scene, rec.mat)
+    tex3 = tex_mod.sample_soa(
+        scene.textures, texture_id, rec.u, rec.v, rec.p, solid3
     )
-    tex3 = (tex[:, 0], tex[:, 1], tex[:, 2])
-    one = jnp.ones_like(tex[:, 0])
+    one = jnp.ones_like(tex3[0])
     albedo = soa.where(mtype == mat_mod.DIELECTRIC, (one, one, one), tex3)
     albedo = soa.where(mtype == mat_mod.EMISSIVE,
                        tuple(jnp.minimum(c, 1.0) for c in tex3), albedo)
@@ -126,14 +145,12 @@ def scatter_soa(scene: Scene, rec, in_dir, lr: rng.LaneRng) -> ScatterSoa:
     component tuples so no [N, 3] arrays materialize (core/soa.py).
     Parity vs scatter is asserted in tests/test_shade.py.
     """
-    mtype, solid, param, texture_id, bump_id, bump_strength = _mat_fetch(
+    mtype, solid3, param, texture_id, bump_id, bump_strength = _mat_fetch_soa(
         scene, rec.mat
     )
-    solid3 = (solid[:, 0], solid[:, 1], solid[:, 2])
-    tex = tex_mod.sample(
-        scene.textures, texture_id, rec.u, rec.v, soa.pack(rec.p), solid
+    tex3 = tex_mod.sample_soa(
+        scene.textures, texture_id, rec.u, rec.v, rec.p, solid3
     )
-    tex3 = (tex[:, 0], tex[:, 1], tex[:, 2])
 
     sphere_draw, choice_u = rng.draw_unit_vector_and_uniform_soa(
         lr, rng.STREAM_SCATTER
@@ -189,7 +206,7 @@ def scatter_soa(scene: Scene, rec, in_dir, lr: rng.LaneRng) -> ScatterSoa:
 
     attenuation = soa.where(is_diel, solid3, tex3)
     scattered = is_lam | (is_metal & metal_ok) | is_diel | is_iso
-    zero = jnp.zeros_like(tex[:, 0])
+    zero = jnp.zeros_like(tex3[0])
     z3 = (zero, zero, zero)
     emitted = soa.where(mtype == mat_mod.EMISSIVE, tex3, z3)
 

@@ -1,0 +1,983 @@
+"""Fused pooled-wavefront step: two Pallas kernels + a thin XLA seam.
+
+Round-3 profiling showed the pooled loop's per-step cost was NOT the
+intersection kernel (12 ms of a 42-48 ms step at 262k lanes) but the ~500
+XLA ops around it: record-decode gathers, shading fusions, and the
+VMEM<->HBM copy churn XLA's memory-space assignment inserts between them
+(562 copy-starts per step, each ~2 ms for a 1 MB lane array — measured).
+Every one of those ops is fast in isolation; the composition is what XLA
+schedules badly. The fix is architectural: take the whole step out of
+XLA's hands.
+
+  kernel A (trace_decode): per 512-lane block — ray-feature assembly ->
+    chunk-culled MXU intersection (pallas_intersect.scan_tables) ->
+    hit-record decode via a one-hot MXU matmul against the packed
+    primitive table (no gathers) -> material row via one-hot matmul ->
+    texture/bump/env *row index* computation. Everything VMEM-resident.
+
+  XLA seam: the only operations Pallas cannot vectorize on TPU — dynamic
+    per-lane gathers — fetch image texels / bump gradients / HDR texels
+    from flat f32 tables using kernel A's row indices (~6 small 1-D
+    gathers), plus the masked scatter-add of finished-path radiance.
+
+  kernel B (shade_advance): per 4096-lane block — counter-hash RNG draws,
+    branchless material scatter, sky shading, Russian roulette, path-state
+    advance, and in-kernel lane respawn: the global work-queue prefix sum
+    rides an SMEM scalar across the sequential TPU grid (block-local ranks
+    via two small triangular matmuls), and respawned lanes regenerate
+    their camera rays in-kernel.
+
+Per-sample semantics are identical to ops/wavefront.body (same RNG
+contexts, same constants, same update order); pool-vs-chunked image tests
+cover the fused path end-to-end in interpret mode.
+
+Reference parity: the fused step covers the iterative ray_color loop
+(/root/reference/camera.hpp:928-986) with material.hpp scatter semantics
+and camera.hpp:784-794 ray generation, at reference constants.
+
+v1 scope (falls back to ops/wavefront.make_pool otherwise): beauty-only
+(no AOV/specular split buffers), no participating media, full-frame
+renders (identity pixel ids), brute-force-scan scenes (below the BVH
+crossover), all three environment modes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import rng
+from ..core.constants import (
+    RAY_EPSILON,
+    RR_P_MAX,
+    RR_P_MIN,
+    RR_START_BOUNCE,
+    T_MAX,
+    T_MIN,
+    WEAK_RAY_EPS,
+)
+from ..models import environment as env_mod
+from ..models import materials as mat_mod
+from ..models import textures as tex_mod
+from . import intersect
+from .intersect import (
+    _BOX_DEFAULT_ROW,
+    _PACK_COLS,
+    _SPHERE_DEFAULT_ROW,
+    _TRI_DEFAULT_ROW,
+    _box_record_soa,
+    _packed_all,
+    _sphere_record_soa,
+    _triangle_record_soa,
+    PRIM_BOX,
+    PRIM_SPHERE,
+    PRIM_TRIANGLE,
+)
+from .pallas_intersect import _coarsen_bounds, scan_tables
+
+# Lanes per kernel-A program (matmul block) and per kernel-B program.
+A_BLOCK = 512
+B_BLOCK = 4096
+LANE = 128  # minor dim of the [R, 128] lane-state layout
+
+# recpack column map (kernel A -> kernel B).
+_RP_HIT = 0
+_RP_T = 1
+_RP_P = 2        # 2:5
+_RP_N = 5        # 5:8
+_RP_TAN = 8      # 8:11
+_RP_BIT = 11     # 11:14
+_RP_FRONT = 14
+_RP_MTYPE = 15
+_RP_PARAM = 16
+_RP_BSTR = 17
+_RP_BASE = 18    # 18:21 base color (non-image texture result / solid)
+_RP_GU = 21      # bump u-crossing gate
+_RP_GV = 22
+_RP_COLS = 24
+
+
+def _pad_rows(a, mult, fill=0.0):
+    n = a.shape[0]
+    pad = (-n) % mult
+    if pad:
+        a = jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1),
+                    constant_values=fill)
+    return a
+
+
+class FusedTables(NamedTuple):
+    """Scene constants consumed by the fused kernels (all jnp, traced)."""
+
+    rectab: jax.Array     # f32[Ntot_pad, 28] packed primitive shading rows
+    mattab: jax.Array     # f32[M_pad, 8] material columns (_mat_fetch order)
+    texmeta: jax.Array    # f32[K_pad, 10] texture metadata (sample_soa order)
+    atlas_flat: jax.Array   # f32[3, K*AH*AW] image texels by channel
+    grad_flat: jax.Array    # f32[2, K*AH*AW] bump neighbor deltas
+    env_flat: jax.Array | None  # f32[3, EH*EW] HDR texels (HDR mode only)
+
+
+def build_tables(scene, env, env_mode: int) -> FusedTables:
+    m = scene.materials
+    mattab = jnp.stack(
+        [m.albedo[:, 0], m.albedo[:, 1], m.albedo[:, 2], m.param,
+         m.mtype.astype(jnp.float32), m.texture_id.astype(jnp.float32),
+         m.bump_id.astype(jnp.float32), m.bump_strength], axis=1,
+    )
+    bank = scene.textures
+    texmeta = jnp.stack(
+        [bank.kind.astype(jnp.float32), bank.size[:, 0].astype(jnp.float32),
+         bank.size[:, 1].astype(jnp.float32), bank.checker_inv_scale,
+         bank.checker_even[:, 0], bank.checker_even[:, 1],
+         bank.checker_even[:, 2], bank.checker_odd[:, 0],
+         bank.checker_odd[:, 1], bank.checker_odd[:, 2]], axis=1,
+    )
+    env_flat = None
+    if env_mode == env_mod.HDR_MAP:
+        env_flat = jnp.reshape(
+            jnp.transpose(env.hdr_image, (2, 0, 1)), (3, -1))
+    return FusedTables(
+        rectab=_pad_rows(_packed_all(scene), A_BLOCK),
+        mattab=_pad_rows(mattab, 8),
+        texmeta=_pad_rows(texmeta, 8),
+        atlas_flat=jnp.reshape(jnp.transpose(bank.data, (3, 0, 1, 2)),
+                               (3, -1)),
+        grad_flat=jnp.reshape(jnp.transpose(bank.grad, (3, 0, 1, 2)),
+                              (2, -1)),
+        env_flat=env_flat,
+    )
+
+
+def fused_supported(scene, config, identity_pixels: bool) -> bool:
+    """Whether the v1 fused step covers this render (else unfused pool)."""
+    n_tex = int(np.prod(scene.textures.data.shape[:3]))
+    return (
+        scene.mm is not None
+        and scene.volumes is None
+        and identity_pixels
+        and not (config.use_albedo or config.use_normal or config.use_z_depth)
+        and not (config.use_reflection or config.use_refraction)
+        and config.n_pixels * config.samples_per_pixel < (1 << 24)
+        and n_tex < (1 << 24)
+        and not (scene.bvh is not None
+                 and scene.primitive_count >= intersect.BVH_MIN_PRIMS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kernel A: trace + decode
+# ---------------------------------------------------------------------------
+
+def _onehot_rows(idx_f32, table_ref):
+    """table[idx] for a [B] f32 index vector via one-hot MXU matmul.
+
+    The TPU has no vectorized VMEM gather; a [B, Nrows] one-hot against the
+    resident table is one MXU dot (~4 us at B=512, Nrows=1536) and replaces
+    the XLA-side gather round trip entirely.
+    """
+    n_rows = table_ref.shape[0]
+    b = idx_f32.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.float32, (b, n_rows), 1)
+    onehot = (rows == idx_f32[:, None]).astype(jnp.float32)
+    return jnp.dot(onehot, table_ref[:],
+                   preferred_element_type=jnp.float32)
+
+
+# Kernel-A scalar params layout (SMEM f32 [1, 8]):
+# [tmin, cos(yaw), sin(yaw), cos(tilt), sin(tilt), cos(roll), sin(roll), -]
+_AP_TMIN = 0
+_AP_ROT = 1
+
+
+def _trace_decode_kernel(
+    aparams_ref, feats_ref, scoeff_ref, tcoeff_ref, bcoeff_ref,
+    sbounds_ref, tbounds_ref, bbounds_ref, rectab_ref, mattab_ref,
+    texmeta_ref,
+    rec_ref, texrow_ref, bumprow_ref, envrow_ref,
+    *, n_spheres: int, n_tris: int, n_boxes: int, has_boxes: bool,
+    atlas_hw: tuple, env_hw: tuple | None,
+):
+    feats = feats_ref[:].T                    # [B, 16]
+    b = feats.shape[0]
+    tmin = jnp.full((b,), aparams_ref[0, _AP_TMIN])
+    best_t, best_idx, best_type = scan_tables(
+        feats, tmin, scoeff_ref, tcoeff_ref, bcoeff_ref,
+        sbounds_ref, tbounds_ref, bbounds_ref,
+        n_spheres=n_spheres, n_tris=n_tris, n_boxes=n_boxes,
+    )
+    hit = best_t < T_MAX
+    t_safe = jnp.where(hit, best_t, 1.0)
+    d = (feats[:, 0], feats[:, 1], feats[:, 2])
+    o = (feats[:, 3], feats[:, 4], feats[:, 5])
+
+    # --- record decode: one-hot row fetch + the shared SoA decoders ---
+    is_tri = best_type == PRIM_TRIANGLE
+    is_box = best_type == PRIM_BOX
+    is_sph = best_type == PRIM_SPHERE
+    base = jnp.where(is_tri, n_spheres,
+                     jnp.where(is_box, n_spheres + n_tris, 0))
+    row_f = jnp.clip((best_idx + base).astype(jnp.float32), 0.0,
+                     float(rectab_ref.shape[0] - 1))
+    grow = _onehot_rows(row_f, rectab_ref)    # [B, 28]
+
+    def sel_cols(mask, default, ncols):
+        zero = jnp.zeros((b,), jnp.float32)
+        return tuple(
+            jnp.where(mask, grow[:, k], float(default[k])) if k < ncols
+            else zero
+            for k in range(_PACK_COLS)
+        )
+
+    sp = _sphere_record_soa(sel_cols(is_sph, _SPHERE_DEFAULT_ROW, 5),
+                            o, d, t_safe)
+    tp = _triangle_record_soa(sel_cols(is_tri, _TRI_DEFAULT_ROW, 28),
+                              o, d, t_safe)
+
+    def sel(mask, a, bb):
+        if isinstance(a, tuple):
+            return tuple(jnp.where(mask, y, x) for x, y in zip(a, bb))
+        return jnp.where(mask, bb, a)
+
+    parts = tuple(sel(is_tri, sp[i], tp[i]) for i in range(8))
+    if has_boxes:
+        bp = _box_record_soa(sel_cols(is_box, _BOX_DEFAULT_ROW, 13),
+                             o, d, t_safe)
+        parts = tuple(sel(is_box, parts[i], bp[i]) for i in range(8))
+    p, normal, tangent, bitangent, front, u, v, mat = parts
+
+    # --- material row via one-hot (mattab in _mat_fetch column order) ---
+    mrow = _onehot_rows(
+        jnp.clip(mat.astype(jnp.float32), 0.0,
+                 float(mattab_ref.shape[0] - 1)),
+        mattab_ref,
+    )
+    solid = (mrow[:, 0], mrow[:, 1], mrow[:, 2])
+    param = mrow[:, 3]
+    mtype = mrow[:, 4]
+    tex_id = mrow[:, 5]
+    bump_id = mrow[:, 6]
+    bstr = mrow[:, 7]
+
+    # --- texture row index + non-image base color (textures.sample_soa) ---
+    tmeta = _onehot_rows(
+        jnp.clip(tex_id, 0.0, float(texmeta_ref.shape[0] - 1)), texmeta_ref,
+    )
+    kind = tmeta[:, 0]
+    tw, th = tmeta[:, 1], tmeta[:, 2]
+    uu = u - jnp.floor(u)
+    ti = jnp.clip(jnp.floor(uu * tw), 0.0, jnp.maximum(tw - 1.0, 0.0))
+    tj = jnp.clip(jnp.floor(v * th), 0.0, jnp.maximum(th - 1.0, 0.0))
+    ah, aw = atlas_hw
+    texrow = (jnp.maximum(tex_id, 0.0) * ah + tj) * aw + ti
+    is_diel = mtype == mat_mod.DIELECTRIC
+    # Dielectric attenuation is the untextured solid albedo
+    # (material.hpp:193) — route it through base_color regardless of any
+    # texture id so kernel B's tex3 select matches shade.scatter_soa.
+    is_image = (kind == tex_mod.KIND_IMAGE) & (tex_id >= 0.0) & ~is_diel
+    # Checker (parity of floored world cells) + missing-cyan + solid base.
+    inv_scale = tmeta[:, 3]
+    cells = (jnp.floor(inv_scale * p[0]) + jnp.floor(inv_scale * p[1])
+             + jnp.floor(inv_scale * p[2]))
+    is_even = cells - 2.0 * jnp.floor(cells * 0.5) == 0.0
+    cyan = (0.0, 1.0, 1.0)
+    base_color = []
+    for c in range(3):
+        col = jnp.where(is_even, tmeta[:, 4 + c], tmeta[:, 7 + c])
+        col = jnp.where(kind == tex_mod.KIND_MISSING, cyan[c], col)
+        base_color.append(
+            jnp.where((tex_id < 0.0) | is_diel, solid[c], col))
+
+    # --- bump row + finite-difference crossing gates (sample_bump_deltas) ---
+    bmeta = _onehot_rows(
+        jnp.clip(bump_id, 0.0, float(texmeta_ref.shape[0] - 1)), texmeta_ref,
+    )
+    bw, bh = bmeta[:, 1], bmeta[:, 2]
+    buu = u - jnp.floor(u)
+    bi = jnp.clip(jnp.floor(buu * bw), 0.0, jnp.maximum(bw - 1.0, 0.0))
+    bj = jnp.clip(jnp.floor(v * bh), 0.0, jnp.maximum(bh - 1.0, 0.0))
+    bumprow = (jnp.maximum(bump_id, 0.0) * ah + bj) * aw + bi
+    delta = 1.0 / 1024.0
+    u2 = u + delta
+    uu2 = u2 - jnp.floor(u2)
+    bi2 = jnp.clip(jnp.floor(uu2 * bw), 0.0, jnp.maximum(bw - 1.0, 0.0))
+    bj2 = jnp.clip(jnp.floor((v + delta) * bh), 0.0,
+                   jnp.maximum(bh - 1.0, 0.0))
+    has_bump = bump_id >= 0.0
+    gate_u = jnp.where((bi2 != bi) & has_bump, 1.0, 0.0)
+    gate_v = jnp.where((bj2 != bj) & has_bump, 1.0, 0.0)
+
+    # --- HDR environment row (equirect yaw/tilt/roll rotation + nearest
+    # lookup; environment._shade_hdr_soa / camera.hpp:837-870) ---
+    if env_hw is not None:
+        from ..core import soa as soa_mod
+        from ..core.constants import PI
+        ex, ey, ez = soa_mod.normalize(d)
+        cy, sy = aparams_ref[0, _AP_ROT], aparams_ref[0, _AP_ROT + 1]
+        cp, sp = aparams_ref[0, _AP_ROT + 2], aparams_ref[0, _AP_ROT + 3]
+        cr, sr = aparams_ref[0, _AP_ROT + 4], aparams_ref[0, _AP_ROT + 5]
+        ex, ez = cy * ex + sy * ez, -sy * ex + cy * ez
+        ey, ez = cp * ey - sp * ez, sp * ey + cp * ez
+        ex, ey = cr * ex - sr * ey, sr * ex + cr * ey
+        phi = jnp.arctan2(ez, ex) + PI
+        theta = jnp.arccos(jnp.clip(ey, -1.0, 1.0))
+        eh, ew = env_hw
+        euu = phi / (2.0 * PI)
+        euu = euu - jnp.floor(euu)
+        ei = jnp.clip(jnp.floor(euu * ew), 0.0, ew - 1.0)
+        ej = jnp.clip(jnp.floor(theta / PI * eh), 0.0, eh - 1.0)
+        envrow_ref[:] = (ej * ew + ei)[:, None]
+
+    if env_hw is None:
+        envrow_ref[:] = jnp.zeros((b, 1), jnp.float32)
+
+    rec = jnp.stack(
+        [hit.astype(jnp.float32), best_t,
+         p[0], p[1], p[2], normal[0], normal[1], normal[2],
+         tangent[0], tangent[1], tangent[2],
+         bitangent[0], bitangent[1], bitangent[2],
+         front.astype(jnp.float32), mtype, param, bstr,
+         base_color[0], base_color[1], base_color[2],
+         gate_u, gate_v, jnp.where(has_bump, 1.0, 0.0)], axis=1,
+    )
+    rec_ref[:] = rec
+    texrow_ref[:] = jnp.where(is_image, texrow, -1.0)[:, None]
+    bumprow_ref[:] = jnp.where(has_bump, bumprow, 0.0)[:, None]
+
+
+def trace_decode(scene, tables: FusedTables, feats, aparams, env_hw,
+                 *, interpret=False):
+    """Kernel-A wrapper: feats f32[16, P], aparams f32[1, 8] ->
+    (recpack [P, 24], texrow [P,1], bumprow [P,1], envrow [P,1])."""
+    mm = scene.mm
+    p_lanes = feats.shape[1]
+    grid = (p_lanes // A_BLOCK,)
+    sbounds = _coarsen_bounds(mm.sphere_bounds)
+    tbounds = _coarsen_bounds(mm.tri_bounds)
+    bbounds = _coarsen_bounds(mm.box_bounds)
+    ah, aw = scene.textures.data.shape[1], scene.textures.data.shape[2]
+    kernel = functools.partial(
+        _trace_decode_kernel,
+        n_spheres=scene.spheres.count, n_tris=scene.triangles.count,
+        n_boxes=scene.boxes.count if scene.boxes is not None else 0,
+        has_boxes=scene.boxes is not None,
+        atlas_hw=(float(ah), float(aw)), env_hw=env_hw,
+    )
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    col = pl.BlockSpec((A_BLOCK, 1), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((16, A_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            full(mm.sphere_coeff.shape),
+            full(mm.tri_coeff.shape),
+            full(mm.box_coeff.shape),
+            pl.BlockSpec(sbounds.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(tbounds.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(bbounds.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            full(tables.rectab.shape),
+            full(tables.mattab.shape),
+            full(tables.texmeta.shape),
+        ],
+        out_specs=(
+            pl.BlockSpec((A_BLOCK, _RP_COLS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            col, col, col,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((p_lanes, _RP_COLS), jnp.float32),
+            jax.ShapeDtypeStruct((p_lanes, 1), jnp.float32),
+            jax.ShapeDtypeStruct((p_lanes, 1), jnp.float32),
+            jax.ShapeDtypeStruct((p_lanes, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(aparams, feats,
+      mm.sphere_coeff, mm.tri_coeff, mm.box_coeff,
+      sbounds, tbounds, bbounds,
+      tables.rectab, tables.mattab, tables.texmeta)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Kernel B: shade + advance + respawn
+# ---------------------------------------------------------------------------
+
+# Kernel-B vector params layout (f32 [1, 32] SMEM):
+_BP_CENTER = 0     # 0:3   camera center
+_BP_P00 = 3        # 3:6   pixel00
+_BP_DU = 6         # 6:9   pixel_delta_u
+_BP_DV = 9         # 9:12  pixel_delta_v
+_BP_DDU = 12       # 12:15 defocus_disk_u
+_BP_DDV = 15       # 15:18 defocus_disk_v
+_BP_SUN_DIR = 18   # 18:21 normalized sun direction
+_BP_SUN_COL = 21   # 21:24 sun color
+_BP_SUN_INT = 24
+_BP_SUN_SIZE = 25
+_BP_INTENSITY = 26
+_BP_BG = 27        # 27:30 solid background color
+_BP_COLS = 32
+
+# i32 scalar inputs [1, 4]: [seed(u32 bits), next_work, sample_offset, -]
+# f32 scalar inputs [1, 2]: [segments, -]
+
+
+def _inclusive_rank(free_f):
+    """Inclusive prefix count of a [B] 0/1 f32 vector via two triangular
+    MXU matmuls (no scan primitive on TPU): reshape to [B/128, 128],
+    within-row prefix = row @ U (U upper-tri incl. diag), row offsets via a
+    strictly-lower-tri [R, R] matmul on the row sums."""
+    b = free_f.shape[0]
+    r = b // LANE
+    m = jnp.reshape(free_f, (r, LANE))
+    iu = jax.lax.broadcasted_iota(jnp.float32, (LANE, LANE), 0)
+    ju = jax.lax.broadcasted_iota(jnp.float32, (LANE, LANE), 1)
+    upper = (iu <= ju).astype(jnp.float32)
+    within = jnp.dot(m, upper, preferred_element_type=jnp.float32)
+    rowsum = within[:, LANE - 1:LANE]                     # [R, 1]
+    il = jax.lax.broadcasted_iota(jnp.float32, (r, r), 0)
+    jl = jax.lax.broadcasted_iota(jnp.float32, (r, r), 1)
+    strict = (jl < il).astype(jnp.float32)
+    offs = jnp.dot(strict, rowsum, preferred_element_type=jnp.float32)
+    return jnp.reshape(within + offs, (b,))
+
+
+def _sun_sky(bp, ux, uy, uz):
+    """In-kernel twin of environment._shade_sun_sky_soa (camera.hpp:871-925)
+    with env scalars read from the params ref."""
+    from ..core import vecmath
+
+    sdx, sdy, sdz = bp[_BP_SUN_DIR], bp[_BP_SUN_DIR + 1], bp[_BP_SUN_DIR + 2]
+    sun_height = sdy
+    adjusted = sun_height - 0.05
+    sky_exposure = jnp.clip(adjusted * 8.0 + 1.4, 0.0, 1.0)
+    day_factor = jnp.clip(adjusted * 10.0 + 1.1, 0.0, 1.0)
+    sunset_i = jnp.clip(1.0 - jnp.abs(adjusted + 0.05) * 30.0, 0.0, 1.0)
+    sunset = jnp.where(adjusted > -0.1, sunset_i, 0.0)
+    sunset = jnp.where(sun_height < 0.0, sunset * (sun_height * 10.0 + 1.0),
+                       sunset)
+    sunset = jnp.clip(sunset, 0.0, 1.0)
+    zen = [0.01, 0.03, 0.1]
+    zday = [0.2, 0.5, 1.0]
+    hor = [0.05, 0.02, 0.01]
+    hday = [0.6, 0.8, 1.0]
+    hsun = [1.0, 0.35, 0.1]
+    scol_sunset = [1.0, 0.3, 0.1]
+    visibility = jnp.clip(sun_height * 5.0 + 1.0, 0.0, 1.0)
+    threshold = 1.0 - bp[_BP_SUN_SIZE] * 0.001
+    sun_focus = ux * sdx + uy * sdy + uz * sdz
+    alpha = vecmath.smoothstep(threshold, threshold + 0.0002, sun_focus)
+    disc_on = (sun_focus > threshold) & (adjusted > -0.1)
+    up = uy > 0.0
+    gain = bp[_BP_INTENSITY] * 1.5 * sky_exposure
+    out = []
+    sun_col = (bp[_BP_SUN_COL], bp[_BP_SUN_COL + 1], bp[_BP_SUN_COL + 2])
+    for k in range(3):
+        zenith = zen[k] * (1.0 - day_factor) + zday[k] * day_factor
+        horizon = hor[k] * (1.0 - day_factor) + hday[k] * day_factor
+        horizon = horizon * (1.0 - sunset) + hsun[k] * sunset
+        sky = jnp.where(up, (1.0 - uy) * horizon + uy * zenith, horizon * 0.1)
+        s_col = sun_col[k] * (1.0 - sunset) + scol_sunset[k] * sunset
+        disc = jnp.where(disc_on,
+                         s_col * bp[_BP_SUN_INT] * visibility * alpha, 0.0)
+        out.append(sky * gain + disc)
+    return tuple(out)
+
+
+def _raygen(bp, seed, pix_i32, samp_i32, width: int):
+    """In-kernel twin of camera.generate_rays_soa + rng.draw_camera
+    (camera.hpp:784-794): identical draws and math, params from the ref."""
+    lr0 = rng.LaneRng(seed, pix_i32.astype(jnp.uint32),
+                      samp_i32.astype(jnp.uint32), jnp.uint32(0))
+    a, b2, c, dd = rng.bits4(lr0, rng.STREAM_CAMERA)
+    off_x = rng._u01(a) - 0.5
+    off_y = rng._u01(b2) - 0.5
+    disk_r = jnp.sqrt(rng._u01(c))
+    disk_t = (2.0 * jnp.pi) * rng._u01(dd)
+    r0 = disk_r * jnp.cos(disk_t)
+    r1 = disk_r * jnp.sin(disk_t)
+
+    pf = pix_i32.astype(jnp.float32)
+    jj = jnp.floor((pf + 0.5) * (1.0 / width))
+    ii = pf - jj * width
+    jj = jnp.where(ii < 0.0, jj - 1.0, jnp.where(ii >= width, jj + 1.0, jj))
+    ii = pf - jj * width
+    px = ii + off_x
+    py = jj + off_y
+    o = tuple(
+        bp[_BP_CENTER + k] + r0 * bp[_BP_DDU + k] + r1 * bp[_BP_DDV + k]
+        for k in range(3)
+    )
+    d = tuple(
+        bp[_BP_P00 + k] + px * bp[_BP_DU + k] + py * bp[_BP_DV + k] - o[k]
+        for k in range(3)
+    )
+    return o, d
+
+
+def _shade_advance_kernel(
+    iscal_ref, fscal_ref, bparams_ref, rec_ref,
+    texrow_ref, texr_ref, texg_ref, texb_ref, gu_ref, gv_ref,
+    envr_ref, envg_ref, envb_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    thx_ref, thy_ref, thz_ref, rdx_ref, rdy_ref, rdz_ref,
+    live_ref, bounce_ref, samp_ref, li_ref,
+    # outputs
+    n_ox_ref, n_oy_ref, n_oz_ref, n_dx_ref, n_dy_ref, n_dz_ref,
+    n_thx_ref, n_thy_ref, n_thz_ref, n_rdx_ref, n_rdy_ref, n_rdz_ref,
+    n_live_ref, n_bounce_ref, n_samp_ref, n_li_ref,
+    cr_ref, cg_ref, cb_ref, tgt_ref,
+    nw_ref, seg_ref, lc_ref,
+    # scratch
+    base_sm, seg_sm, lc_sm,
+    *, n_pixels: int, width: int, total_work: int, max_depth: int,
+    env_mode: int, spp: int,
+):
+    from ..core import soa
+
+    prog = pl.program_id(0)
+    nprog = pl.num_programs(0)
+    b = rec_ref.shape[0]
+    bp = tuple(bparams_ref[0, k] for k in range(_BP_COLS))
+
+    @pl.when(prog == 0)
+    def _init():
+        base_sm[0] = iscal_ref[0, 1]
+        seg_sm[0] = fscal_ref[0, 0]
+        lc_sm[0] = jnp.int32(0)
+
+    seed = jax.lax.bitcast_convert_type(iscal_ref[0, 0], jnp.uint32)
+    sample_offset = iscal_ref[0, 2]
+
+    col = lambda ref: ref[:][:, 0]
+    rec = rec_ref[:]
+    hit = rec[:, _RP_HIT] > 0.5
+    normal = (rec[:, _RP_N], rec[:, _RP_N + 1], rec[:, _RP_N + 2])
+    tangent = (rec[:, _RP_TAN], rec[:, _RP_TAN + 1], rec[:, _RP_TAN + 2])
+    bitangent = (rec[:, _RP_BIT], rec[:, _RP_BIT + 1], rec[:, _RP_BIT + 2])
+    hp = (rec[:, _RP_P], rec[:, _RP_P + 1], rec[:, _RP_P + 2])
+    front = rec[:, _RP_FRONT] > 0.5
+    mtype = rec[:, _RP_MTYPE]
+    param = rec[:, _RP_PARAM]
+    bstr = rec[:, _RP_BSTR]
+    base_col = (rec[:, _RP_BASE], rec[:, _RP_BASE + 1], rec[:, _RP_BASE + 2])
+    gate_u = rec[:, _RP_GU]
+    gate_v = rec[:, _RP_GV]
+
+    # Image-texture lanes take the gathered texel; everything else
+    # (checker / solid / missing-cyan) was resolved by kernel A into
+    # base_col and carries texrow == -1.
+    is_image_lane = col(texrow_ref) >= -0.5
+    gathered = (col(texr_ref), col(texg_ref), col(texb_ref))
+    tex3 = tuple(jnp.where(is_image_lane, gathered[k], base_col[k])
+                 for k in range(3))
+
+    o = (col(ox_ref), col(oy_ref), col(oz_ref))
+    d = (col(dx_ref), col(dy_ref), col(dz_ref))
+    thr = (col(thx_ref), col(thy_ref), col(thz_ref))
+    rad = (col(rdx_ref), col(rdy_ref), col(rdz_ref))
+    live = col(live_ref) > 0
+    bounce = col(bounce_ref)
+    samp = col(samp_ref)
+    li = col(li_ref)
+
+    lr = rng.LaneRng(seed, li.astype(jnp.uint32), samp.astype(jnp.uint32),
+                     bounce.astype(jnp.uint32) << jnp.uint32(1))
+
+    # --- background (miss) color ---
+    ud = soa.normalize(d)
+    if env_mode == env_mod.PHYSICAL_SUN:
+        bg = _sun_sky(bp, *ud)
+    elif env_mode == env_mod.SOLID_COLOR:
+        one = jnp.ones((b,), jnp.float32)
+        bg = tuple(bp[_BP_BG + k] * bp[_BP_INTENSITY] * one
+                   for k in range(3))
+    else:
+        bg = tuple(col(r) * bp[_BP_INTENSITY]
+                   for r in (envr_ref, envg_ref, envb_ref))
+
+    # --- branchless scatter (shade.scatter_soa post-fetch math) ---
+    sphere_draw, choice_u = rng.draw_unit_vector_and_uniform_soa(
+        lr, rng.STREAM_SCATTER)
+    f_u = col(gu_ref) * gate_u * bstr
+    f_v = col(gv_ref) * gate_v * bstr
+    n_b = tuple(normal[k] - f_u * tangent[k] - f_v * bitangent[k]
+                for k in range(3))
+    # scatter_soa applies normalize(n_b) whenever the material HAS a bump
+    # map (bump_id >= 0) even when both taps are zero; kernel A mirrors
+    # that presence bit into the last recpack column.
+    has_bump = rec[:, _RP_COLS - 1] > 0.5
+    working_n = soa.where(has_bump, soa.normalize(n_b), normal)
+    unit_in = soa.normalize(d)
+
+    lam_dir = soa.add(working_n, sphere_draw)
+    lam_dir = soa.where(soa.near_zero(lam_dir), working_n, lam_dir)
+    eps_origin = soa.axpy(RAY_EPSILON, normal, hp)
+
+    reflected = soa.reflect(unit_in, working_n)
+    metal_dir = soa.normalize(soa.axpy(param, sphere_draw, reflected))
+    metal_ok = soa.dot(metal_dir, normal) > 0.0
+
+    from ..core import vecmath
+    ri = jnp.where(front, 1.0 / jnp.maximum(param, 1e-6), param)
+    cos_theta = jnp.minimum(soa.dot(soa.neg(unit_in), working_n), 1.0)
+    sin_theta = vecmath.safe_sqrt(1.0 - cos_theta * cos_theta)
+    cannot_refract = ri * sin_theta > 1.0
+    r0s = ((1.0 - ri) / (1.0 + ri)) ** 2
+    reflect_prob = r0s + (1.0 - r0s) * (1.0 - cos_theta) ** 5
+    do_reflect = cannot_refract | (reflect_prob > choice_u)
+    refracted = soa.refract(unit_in, working_n, ri)
+    diel_dir = soa.where(do_reflect, reflected, refracted)
+    offset_out = soa.dot(diel_dir, normal) > 0.0
+    diel_origin = soa.axpy(
+        jnp.where(offset_out, RAY_EPSILON, -RAY_EPSILON), normal, hp)
+
+    is_lam = mtype == mat_mod.LAMBERTIAN
+    is_metal = mtype == mat_mod.METAL
+    is_diel = mtype == mat_mod.DIELECTRIC
+    is_iso = mtype == mat_mod.ISOTROPIC
+    is_emit = mtype == mat_mod.EMISSIVE
+
+    sc_dir = soa.where(is_lam, lam_dir,
+             soa.where(is_metal, metal_dir,
+             soa.where(is_diel, diel_dir, sphere_draw)))
+    sc_origin = soa.where(is_lam | is_metal, eps_origin,
+                soa.where(is_diel, diel_origin, hp))
+    # base_col is the texture sample for non-image textures / solid; the
+    # dielectric uses the untextured solid albedo which kernel A routed
+    # into base_col for tex_id < 0 materials; dielectrics are always
+    # untextured (materials.dielectric never sets texture_id).
+    attenuation = tex3
+    scattered = is_lam | (is_metal & metal_ok) | is_diel | is_iso
+    zero = jnp.zeros((b,), jnp.float32)
+    emitted = soa.where(is_emit, tex3, (zero, zero, zero))
+
+    # --- radiance / path update (wavefront.body order) ---
+    miss = live & ~hit
+    rad = tuple(rad[k] + jnp.where(miss, thr[k] * bg[k], 0.0)
+                for k in range(3))
+    active = live & hit
+    rad = tuple(rad[k] + jnp.where(active, thr[k] * emitted[k], 0.0)
+                for k in range(3))
+    gainm = active & scattered
+    thr = soa.where(gainm, soa.mul(thr, attenuation), thr)
+    active = active & scattered
+
+    late = (bounce - 1) > RR_START_BOUNCE
+    weak = late & (soa.length(thr) < WEAK_RAY_EPS)
+    active = active & ~weak
+    p_rr = jnp.clip(jnp.maximum(thr[0], jnp.maximum(thr[1], thr[2])),
+                    RR_P_MIN, RR_P_MAX)
+    u_rr = rng.draw_uniform(lr, rng.STREAM_RR)
+    active = active & ~(late & (u_rr > p_rr))
+    thr = soa.where(late & active, soa.scale(thr, 1.0 / p_rr), thr)
+    active = active & (bounce + 1 < max_depth)
+
+    # --- finished paths -> contribution outputs ---
+    done = live & ~active
+    tgt = jnp.where(done, li, n_pixels)
+    cr, cg, cb = (jnp.where(done, rad[k], 0.0) for k in range(3))
+
+    # --- respawn: global work counter rides SMEM across the grid ---
+    free = ~live | done
+    free_f = free.astype(jnp.float32)
+    base = base_sm[0]
+    rank = _inclusive_rank(free_f).astype(jnp.int32) - 1
+    new_w = base + rank
+    can_spawn = free & (new_w < total_work)
+    block_free = jnp.sum(free_f).astype(jnp.int32)
+    base_sm[0] = base + block_free
+
+    w = jnp.clip(new_w, 0, total_work - 1)
+    wf = w.astype(jnp.float32)
+    sr = jnp.floor((wf + 0.5) * (1.0 / n_pixels))
+    sli = wf - sr * n_pixels
+    sr = jnp.where(sli < 0.0, sr - 1.0, jnp.where(sli >= n_pixels,
+                                                  sr + 1.0, sr))
+    sli = wf - sr * n_pixels
+    new_li = sli.astype(jnp.int32)
+    new_samp = sample_offset + sr.astype(jnp.int32)
+    so, sd = _raygen(bp, seed, new_li, new_samp, width)
+
+    sel = lambda fresh, old: jnp.where(can_spawn, fresh, old)
+    one = jnp.ones((b,), jnp.float32)
+    n_live = (live & active) | can_spawn
+    outs = [
+        sel(so[0], jnp.where(active, sc_origin[0], o[0])),
+        sel(so[1], jnp.where(active, sc_origin[1], o[1])),
+        sel(so[2], jnp.where(active, sc_origin[2], o[2])),
+        sel(sd[0], jnp.where(active, sc_dir[0], d[0])),
+        sel(sd[1], jnp.where(active, sc_dir[1], d[1])),
+        sel(sd[2], jnp.where(active, sc_dir[2], d[2])),
+        sel(one, thr[0]), sel(one, thr[1]), sel(one, thr[2]),
+        sel(zero, rad[0]), sel(zero, rad[1]), sel(zero, rad[2]),
+    ]
+    for ref, val in zip(
+        (n_ox_ref, n_oy_ref, n_oz_ref, n_dx_ref, n_dy_ref, n_dz_ref,
+         n_thx_ref, n_thy_ref, n_thz_ref, n_rdx_ref, n_rdy_ref, n_rdz_ref),
+        outs,
+    ):
+        ref[:] = val[:, None]
+    n_live_ref[:] = n_live.astype(jnp.int32)[:, None]
+    n_bounce_ref[:] = jnp.where(can_spawn, 0, bounce + 1)[:, None]
+    n_samp_ref[:] = sel(new_samp, samp)[:, None]
+    n_li_ref[:] = sel(new_li, li)[:, None]
+    cr_ref[:] = cr[:, None]
+    cg_ref[:] = cg[:, None]
+    cb_ref[:] = cb[:, None]
+    tgt_ref[:] = tgt[:, None]
+
+    seg_sm[0] = seg_sm[0] + jnp.sum(live.astype(jnp.float32))
+    lc_sm[0] = lc_sm[0] + jnp.sum(n_live.astype(jnp.int32))
+
+    @pl.when(prog == nprog - 1)
+    def _fin():
+        nw_ref[0, 0] = jnp.minimum(base_sm[0], total_work)
+        seg_ref[0, 0] = seg_sm[0]
+        lc_ref[0, 0] = lc_sm[0]
+
+
+def shade_advance(tables: FusedTables, iscal, fscal, bparams, rec, texrow,
+                  tex3, bump2, env3, state_cols, *,
+                  n_pixels: int, width: int, total_work: int, max_depth: int,
+                  env_mode: int, spp: int, interpret=False):
+    """Kernel-B wrapper.
+
+    state_cols: 16 arrays [P, 1] in kernel order (o3, d3, thr3, rad3 f32;
+    live, bounce, samp, li i32). Returns (new_state_cols (16), contrib r/g/b
+    [P,1], tgt [P,1] i32, next_work [1,1] i32, segments [1,1] f32,
+    live_count [1,1] i32).
+    """
+    p_lanes = rec.shape[0]
+    grid = (p_lanes // B_BLOCK,)
+    col_f = pl.BlockSpec((B_BLOCK, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    scal = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                      memory_space=pltpu.SMEM)
+    kernel = functools.partial(
+        _shade_advance_kernel, n_pixels=n_pixels, width=width,
+        total_work=total_work, max_depth=max_depth, env_mode=env_mode,
+        spp=spp,
+    )
+    col_shape_f = jax.ShapeDtypeStruct((p_lanes, 1), jnp.float32)
+    col_shape_i = jax.ShapeDtypeStruct((p_lanes, 1), jnp.int32)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            scal((1, 4)), scal((1, 2)), scal((1, _BP_COLS)),
+            pl.BlockSpec((B_BLOCK, _RP_COLS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            col_f,                       # texrow
+            col_f, col_f, col_f,         # tex r/g/b
+            col_f, col_f,                # bump gu/gv
+            col_f, col_f, col_f,         # env r/g/b
+        ] + [col_f] * 12 + [col_f] * 4,  # state (i32 cols use same spec)
+        out_specs=tuple([col_f] * 12 + [col_f] * 4 + [col_f] * 3 + [col_f]
+                        + [scal((1, 1))] * 3),
+        out_shape=tuple(
+            [col_shape_f] * 12 + [col_shape_i] * 4
+            + [col_shape_f] * 3 + [col_shape_i]
+            + [jax.ShapeDtypeStruct((1, 1), jnp.int32),
+               jax.ShapeDtypeStruct((1, 1), jnp.float32),
+               jax.ShapeDtypeStruct((1, 1), jnp.int32)]
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((1,), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(iscal, fscal, bparams, rec, texrow, *tex3, *bump2, *env3, *state_cols)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Fused pool orchestration
+# ---------------------------------------------------------------------------
+
+
+class FusedPoolState(NamedTuple):
+    """Loop carry of the fused pooled-wavefront (all [P, 1] columns)."""
+
+    next_work: jax.Array   # i32 [1, 1]
+    live_count: jax.Array  # i32 [1, 1]
+    o: tuple               # 3 x f32 [P, 1]
+    d: tuple
+    thr: tuple
+    rad: tuple
+    live: jax.Array        # i32 [P, 1]
+    bounce: jax.Array      # i32 [P, 1]
+    samp: jax.Array        # i32 [P, 1]
+    li: jax.Array          # i32 [P, 1]
+    acc: dict              # {"beauty.x/y/z": f32 [n+1]}
+    segments: jax.Array    # f32 [1, 1]
+    steps: jax.Array       # i32 []
+
+
+def make_pool_fused(scene, cam, env, key, config, sample_offset=0,
+                    pool_lanes=None, interpret: bool = False):
+    """Fused twin of wavefront.make_pool for the v1-supported config set.
+
+    Returns (state0, cond, body) whose per-sample radiance is identical to
+    the unfused pool (same RNG contexts, constants, and update order).
+    """
+    from ..models import camera as camera_mod
+
+    n = config.n_pixels
+    spp = config.samples_per_pixel
+    total_work = n * spp
+    p = pool_lanes or min(total_work, 262_144)
+    p = max(B_BLOCK, -(-p // B_BLOCK) * B_BLOCK)
+    seed = rng.seed_from_key(key)
+    sample_offset = jnp.asarray(sample_offset, jnp.int32)
+    env_mode = config.env_mode
+
+    tables = build_tables(scene, env, env_mode)
+    env_hw = None
+    if env_mode == env_mod.HDR_MAP:
+        env_hw = (float(env.hdr_image.shape[0]), float(env.hdr_image.shape[1]))
+
+    # Scalar param vectors for the kernels.
+    from ..core import vecmath
+    aparams = jnp.concatenate([
+        jnp.asarray([T_MIN], jnp.float32),
+        jnp.cos(env.hdri_rotation)[None], jnp.sin(env.hdri_rotation)[None],
+        jnp.cos(env.hdri_tilt)[None], jnp.sin(env.hdri_tilt)[None],
+        jnp.cos(env.hdri_roll)[None], jnp.sin(env.hdri_roll)[None],
+        jnp.zeros((1,), jnp.float32),
+    ]).reshape(1, 8)
+    sun_dir = vecmath.normalize(env.sun_direction)
+    bparams = jnp.concatenate([
+        cam.center, cam.pixel00, cam.pixel_delta_u, cam.pixel_delta_v,
+        cam.defocus_disk_u, cam.defocus_disk_v,
+        sun_dir, env.sun_color,
+        env.sun_intensity[None], env.sun_size[None], env.intensity[None],
+        env.background_color,
+        jnp.zeros((2,), jnp.float32),
+    ]).reshape(1, _BP_COLS)
+
+    # --- initial fill (same decode as kernel B's respawn) ---
+    w0 = jnp.arange(p, dtype=jnp.int32)
+    wc = jnp.minimum(w0, total_work - 1)
+    samp_rel = wc // n
+    li0 = wc - samp_rel * n
+    samp0 = sample_offset + samp_rel
+    lr0 = rng.LaneRng(seed, li0.astype(jnp.uint32), samp0.astype(jnp.uint32),
+                      jnp.uint32(0))
+    o0, d0 = camera_mod.generate_rays_soa(cam, lr0, li0, config.width)
+    live0 = (w0 < total_work).astype(jnp.int32)
+    colf = lambda x: jnp.asarray(x, jnp.float32)[:, None]
+    coli = lambda x: jnp.asarray(x, jnp.int32)[:, None]
+    ones = jnp.ones((p,), jnp.float32)
+    zeros = jnp.zeros((p,), jnp.float32)
+    state0 = FusedPoolState(
+        next_work=jnp.full((1, 1), min(p, total_work), jnp.int32),
+        live_count=jnp.sum(live0)[None, None],
+        o=tuple(colf(c) for c in o0),
+        d=tuple(colf(c) for c in d0),
+        thr=(colf(ones), colf(ones), colf(ones)),
+        rad=(colf(zeros), colf(zeros), colf(zeros)),
+        live=coli(live0),
+        bounce=coli(jnp.zeros((p,), jnp.int32)),
+        samp=coli(samp0),
+        li=coli(li0),
+        acc={f"beauty.{c}": jnp.zeros((n + 1,), jnp.float32) for c in "xyz"},
+        segments=jnp.zeros((1, 1), jnp.float32),
+        steps=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(s: FusedPoolState):
+        return s.live_count[0, 0] > 0
+
+    def body(s: FusedPoolState):
+        # Kernel A: trace + decode.
+        feats = intersect.ray_features_soa(
+            tuple(c[:, 0] for c in s.o), tuple(c[:, 0] for c in s.d))
+        rec, texrow, bumprow, envrow = trace_decode(
+            scene, tables, feats, aparams, env_hw, interpret=interpret)
+
+        # XLA seam: the per-lane gathers Pallas cannot vectorize.
+        trow = jnp.clip(texrow[:, 0], 0.0, None).astype(jnp.int32)
+        brow = jnp.clip(bumprow[:, 0], 0.0, None).astype(jnp.int32)
+        tex3 = tuple(tables.atlas_flat[k][trow][:, None] for k in range(3))
+        bump2 = tuple(tables.grad_flat[k][brow][:, None] for k in range(2))
+        if env_hw is not None:
+            erow = envrow[:, 0].astype(jnp.int32)
+            env3 = tuple(tables.env_flat[k][erow][:, None] for k in range(3))
+        else:
+            zc = jnp.zeros((p, 1), jnp.float32)
+            env3 = (zc, zc, zc)
+
+        iscal = jnp.concatenate([
+            jax.lax.bitcast_convert_type(seed, jnp.int32)[None],
+            s.next_work[0, 0][None],
+            sample_offset[None], jnp.zeros((1,), jnp.int32),
+        ]).reshape(1, 4)
+        fscal = jnp.concatenate([
+            s.segments[0, 0][None], jnp.zeros((1,), jnp.float32),
+        ]).reshape(1, 2)
+
+        state_cols = (*s.o, *s.d, *s.thr, *s.rad,
+                      s.live, s.bounce, s.samp, s.li)
+        out = shade_advance(
+            tables, iscal, fscal, bparams, rec, texrow, tex3, bump2, env3,
+            state_cols, n_pixels=n, width=config.width,
+            total_work=total_work, max_depth=config.max_depth,
+            env_mode=env_mode, spp=spp, interpret=interpret,
+        )
+        (n_ox, n_oy, n_oz, n_dx, n_dy, n_dz, n_thx, n_thy, n_thz,
+         n_rdx, n_rdy, n_rdz, n_live, n_bounce, n_samp, n_li,
+         cr, cg, cb, tgt, nw, seg, lc) = out
+
+        # XLA seam: masked scatter-add of finished-path radiance.
+        tgt1 = tgt[:, 0]
+        acc = dict(s.acc)
+        for name, val in (("beauty.x", cr), ("beauty.y", cg),
+                          ("beauty.z", cb)):
+            acc[name] = acc[name].at[tgt1].add(val[:, 0])
+
+        return FusedPoolState(
+            next_work=nw, live_count=lc,
+            o=(n_ox, n_oy, n_oz), d=(n_dx, n_dy, n_dz),
+            thr=(n_thx, n_thy, n_thz), rad=(n_rdx, n_rdy, n_rdz),
+            live=n_live, bounce=n_bounce, samp=n_samp, li=n_li,
+            acc=acc, segments=seg, steps=s.steps + 1,
+        )
+
+    return state0, cond, body
+
+
+def render_pool_fused(scene, cam, env, key, config, sample_offset=0,
+                      pool_lanes=None, with_stats: bool = False,
+                      interpret: bool = False):
+    """Fused drop-in for wavefront.render_pool (beauty-only contract)."""
+    from .integrator import SampleBuffers
+
+    n = config.n_pixels
+    state0, cond, body = make_pool_fused(
+        scene, cam, env, key, config, sample_offset, pool_lanes,
+        interpret=interpret,
+    )
+    final = jax.lax.while_loop(cond, body, state0)
+    zeros3 = jnp.zeros((n, 3), jnp.float32)
+    beauty = jnp.stack([final.acc[f"beauty.{c}"][:n] for c in "xyz"],
+                       axis=-1)
+    out = SampleBuffers(beauty=beauty, albedo=zeros3, normal=zeros3,
+                        z_depth=zeros3, reflection=zeros3, refraction=zeros3)
+    if with_stats:
+        return out, {"segments": final.segments[0, 0],
+                     "steps": final.steps}
+    return out

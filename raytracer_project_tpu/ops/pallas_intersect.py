@@ -69,21 +69,19 @@ BLOCK_RAYS = 512
 CHUNK_PRIMS = 512
 
 
-def _closest_hit_kernel(tmin_ref, feats_ref, scoeff_ref, tcoeff_ref,
-                        bcoeff_ref, sbounds_ref, tbounds_ref, bbounds_ref,
-                        t_ref, idx_ref, type_ref,
-                        *, n_spheres: int, n_tris: int, n_boxes: int):
-    """One ray block vs the whole scene; scene tables live in VMEM.
+def scan_tables(feats, tmin, scoeff_ref, tcoeff_ref, bcoeff_ref,
+                sbounds_ref, tbounds_ref, bbounds_ref,
+                *, n_spheres: int, n_tris: int, n_boxes: int):
+    """Closest hit of one ray block against the whole scene, inside a
+    kernel whose scene tables live in VMEM refs. Shared by the standalone
+    closest-hit kernel below and the fused trace+decode kernel
+    (ops/fused_step.py).
 
-    feats_ref is TRANSPOSED [16, B]: the host-side stack of 16 component
-    rows is a dense contiguous write, where assembling [B, 16] in XLA costs
-    a 16-way [P, 1] concatenate (~3 ms at 262k lanes). The in-kernel
-    transpose back to [B, 16] is a VMEM-local relayout (~us).
+    feats f32[B, 16] (ray_features rows); tmin f32[B].
+    Returns (best_t [B], best_idx [B] i32, best_type [B] i32).
     """
-    feats = feats_ref[:].T                    # [B, 16]
     b = feats.shape[0]
     a = feats[:, 12:13]                       # |d|^2 (ray_features col 12)
-    tmin = jnp.full((b,), tmin_ref[0, 0])
 
     # Per-ray slab-test ingredients for chunk culling: direction (cols 0:3)
     # and origin (cols 3:6). Zero components get a huge finite inverse so
@@ -174,7 +172,28 @@ def _closest_hit_kernel(tmin_ref, feats_ref, scoeff_ref, tcoeff_ref,
             bcoeff_ref, bbounds_ref, 6, box_candidate_t_mm,
             n_boxes, PRIM_BOX, (best_t, best_idx, best_type),
         )
+    return best_t, best_idx, best_type
 
+
+def _closest_hit_kernel(tmin_ref, feats_ref, scoeff_ref, tcoeff_ref,
+                        bcoeff_ref, sbounds_ref, tbounds_ref, bbounds_ref,
+                        t_ref, idx_ref, type_ref,
+                        *, n_spheres: int, n_tris: int, n_boxes: int):
+    """One ray block vs the whole scene; scene tables live in VMEM.
+
+    feats_ref is TRANSPOSED [16, B]: the host-side stack of 16 component
+    rows is a dense contiguous write, where assembling [B, 16] in XLA costs
+    a 16-way [P, 1] concatenate (~3 ms at 262k lanes). The in-kernel
+    transpose back to [B, 16] is a VMEM-local relayout (~us).
+    """
+    feats = feats_ref[:].T                    # [B, 16]
+    b = feats.shape[0]
+    tmin = jnp.full((b,), tmin_ref[0, 0])
+    best_t, best_idx, best_type = scan_tables(
+        feats, tmin, scoeff_ref, tcoeff_ref, bcoeff_ref,
+        sbounds_ref, tbounds_ref, bbounds_ref,
+        n_spheres=n_spheres, n_tris=n_tris, n_boxes=n_boxes,
+    )
     t_ref[:] = best_t[:, None]
     idx_ref[:] = best_idx[:, None]
     type_ref[:] = best_type[:, None]

@@ -483,7 +483,29 @@ def render_pool(scene: Scene, cam: camera_mod.Camera, env, key,
     path segments traced (the quantity the reference UI's
     W·H·spp·max_depth/Δt metric upper-bounds, main.cpp:101-113) and the
     number of pool steps taken.
+
+    On TPU, configs the fused two-kernel step covers (beauty-only
+    full-frame renders of brute-scan scenes — see
+    fused_step.fused_supported) dispatch to ops/fused_step.py: identical
+    per-sample values, ~an order of magnitude less XLA overhead per step.
     """
+    import numpy as np
+
+    from . import fused_step
+
+    n = pixel_ids.shape[0]
+    identity_pixels = (
+        isinstance(pixel_ids, np.ndarray) or not isinstance(pixel_ids, jax.Array)
+    ) and n == config.n_pixels and bool(
+        np.array_equal(np.asarray(pixel_ids), np.arange(n))
+    )
+    if (jax.default_backend() == "tpu"
+            and fused_step.fused_supported(scene, config, identity_pixels)):
+        return fused_step.render_pool_fused(
+            scene, cam, env, key, config, sample_offset, pool_lanes,
+            with_stats=with_stats,
+        )
+
     state, cond, body = make_pool(
         scene, cam, env, key, config, pixel_ids, sample_offset, pool_lanes
     )

@@ -86,21 +86,26 @@ A_BLOCK = 512
 B_BLOCK = 4096
 LANE = 128  # minor dim of the [R, 128] lane-state layout
 
-# recpack column map (kernel A -> kernel B).
-_RP_HIT = 0
-_RP_T = 1
-_RP_P = 2        # 2:5
-_RP_N = 5        # 5:8
-_RP_TAN = 8      # 8:11
-_RP_BIT = 11     # 11:14
-_RP_FRONT = 14
-_RP_MTYPE = 15
-_RP_PARAM = 16
-_RP_BSTR = 17
-_RP_BASE = 18    # 18:21 base color (non-image texture result / solid)
-_RP_GU = 21      # bump u-crossing gate
-_RP_GV = 22
-_RP_COLS = 24
+# Kernel-A output row map: ONE transposed [24, P] matrix (rows are dense
+# [P] lane vectors — any per-lane [P, 1] column buffer would pad its lane
+# dim 1 -> 128 in VMEM, a 128x footprint blowup across the pipeline).
+_RO_HIT = 0
+_RO_T = 1
+_RO_N = 2        # 2:5 shading normal
+_RO_TAN = 5      # 5:8 tangent
+_RO_BIT = 8      # 8:11 bitangent
+_RO_FRONT = 11
+_RO_MTYPE = 12
+_RO_PARAM = 13
+_RO_BSTR = 14
+_RO_BASE = 15    # 15:18 base color (non-image texture result / solid)
+_RO_GU = 18      # bump u-crossing gate
+_RO_GV = 19
+_RO_HASB = 20
+_RO_TEXROW = 21  # flat atlas row (-1 = use base color)
+_RO_BUMPROW = 22
+_RO_ENVROW = 23  # equirect HDR row (HDR mode; 0 otherwise)
+_RO_ROWS = 24
 
 
 def _pad_rows(a, mult, fill=0.0):
@@ -183,8 +188,8 @@ def _onehot_rows(idx_f32, table_ref):
     """
     n_rows = table_ref.shape[0]
     b = idx_f32.shape[0]
-    rows = jax.lax.broadcasted_iota(jnp.float32, (b, n_rows), 1)
-    onehot = (rows == idx_f32[:, None]).astype(jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (b, n_rows), 1)
+    onehot = (rows == idx_f32.astype(jnp.int32)[:, None]).astype(jnp.float32)
     return jnp.dot(onehot, table_ref[:],
                    preferred_element_type=jnp.float32)
 
@@ -199,7 +204,7 @@ def _trace_decode_kernel(
     aparams_ref, feats_ref, scoeff_ref, tcoeff_ref, bcoeff_ref,
     sbounds_ref, tbounds_ref, bbounds_ref, rectab_ref, mattab_ref,
     texmeta_ref,
-    rec_ref, texrow_ref, bumprow_ref, envrow_ref,
+    out_ref,
     *, n_spheres: int, n_tris: int, n_boxes: int, has_boxes: bool,
     atlas_hw: tuple, env_hw: tuple | None,
 ):
@@ -234,22 +239,33 @@ def _trace_decode_kernel(
             for k in range(_PACK_COLS)
         )
 
+    from ..core import vecmath
     sp = _sphere_record_soa(sel_cols(is_sph, _SPHERE_DEFAULT_ROW, 5),
-                            o, d, t_safe)
+                            o, d, t_safe, acos_fn=vecmath.acos_poly,
+                            atan2_fn=vecmath.atan2_poly)
     tp = _triangle_record_soa(sel_cols(is_tri, _TRI_DEFAULT_ROW, 28),
                               o, d, t_safe)
+
+    def widen(parts):
+        # Mosaic cannot select i1 vectors (i8->i1 trunci is unsupported);
+        # front_face rides the select as f32 and mat as i32.
+        parts = list(parts)
+        parts[4] = parts[4].astype(jnp.float32)
+        return parts
 
     def sel(mask, a, bb):
         if isinstance(a, tuple):
             return tuple(jnp.where(mask, y, x) for x, y in zip(a, bb))
         return jnp.where(mask, bb, a)
 
+    sp, tp = widen(sp), widen(tp)
     parts = tuple(sel(is_tri, sp[i], tp[i]) for i in range(8))
     if has_boxes:
-        bp = _box_record_soa(sel_cols(is_box, _BOX_DEFAULT_ROW, 13),
-                             o, d, t_safe)
+        bp = widen(_box_record_soa(sel_cols(is_box, _BOX_DEFAULT_ROW, 13),
+                                   o, d, t_safe))
         parts = tuple(sel(is_box, parts[i], bp[i]) for i in range(8))
     p, normal, tangent, bitangent, front, u, v, mat = parts
+    front = front > 0.5
 
     # --- material row via one-hot (mattab in _mat_fetch column order) ---
     mrow = _onehot_rows(
@@ -314,6 +330,7 @@ def _trace_decode_kernel(
 
     # --- HDR environment row (equirect yaw/tilt/roll rotation + nearest
     # lookup; environment._shade_hdr_soa / camera.hpp:837-870) ---
+    envrow = jnp.zeros((b,), jnp.float32)
     if env_hw is not None:
         from ..core import soa as soa_mod
         from ..core.constants import PI
@@ -324,36 +341,36 @@ def _trace_decode_kernel(
         ex, ez = cy * ex + sy * ez, -sy * ex + cy * ez
         ey, ez = cp * ey - sp * ez, sp * ey + cp * ez
         ex, ey = cr * ex - sr * ey, sr * ex + cr * ey
-        phi = jnp.arctan2(ez, ex) + PI
-        theta = jnp.arccos(jnp.clip(ey, -1.0, 1.0))
+        # Polynomial atan2/acos: Mosaic has no transcendental arcs; the
+        # ~1e-5 rad error only steers the nearest-texel equirect lookup.
+        from ..core import vecmath as _vm
+        phi = _vm.atan2_poly(ez, ex) + PI
+        theta = _vm.acos_poly(ey)
         eh, ew = env_hw
         euu = phi / (2.0 * PI)
         euu = euu - jnp.floor(euu)
         ei = jnp.clip(jnp.floor(euu * ew), 0.0, ew - 1.0)
         ej = jnp.clip(jnp.floor(theta / PI * eh), 0.0, eh - 1.0)
-        envrow_ref[:] = (ej * ew + ei)[:, None]
+        envrow = ej * ew + ei
 
-    if env_hw is None:
-        envrow_ref[:] = jnp.zeros((b, 1), jnp.float32)
-
-    rec = jnp.stack(
+    out_ref[:] = jnp.stack(
         [hit.astype(jnp.float32), best_t,
-         p[0], p[1], p[2], normal[0], normal[1], normal[2],
+         normal[0], normal[1], normal[2],
          tangent[0], tangent[1], tangent[2],
          bitangent[0], bitangent[1], bitangent[2],
          front.astype(jnp.float32), mtype, param, bstr,
          base_color[0], base_color[1], base_color[2],
-         gate_u, gate_v, jnp.where(has_bump, 1.0, 0.0)], axis=1,
+         gate_u, gate_v, jnp.where(has_bump, 1.0, 0.0),
+         jnp.where(is_image, texrow, -1.0),
+         jnp.where(has_bump, bumprow, 0.0),
+         envrow], axis=0,
     )
-    rec_ref[:] = rec
-    texrow_ref[:] = jnp.where(is_image, texrow, -1.0)[:, None]
-    bumprow_ref[:] = jnp.where(has_bump, bumprow, 0.0)[:, None]
 
 
 def trace_decode(scene, tables: FusedTables, feats, aparams, env_hw,
                  *, interpret=False):
     """Kernel-A wrapper: feats f32[16, P], aparams f32[1, 8] ->
-    (recpack [P, 24], texrow [P,1], bumprow [P,1], envrow [P,1])."""
+    one [_RO_ROWS, P] matrix of per-lane record/texture-row vectors."""
     mm = scene.mm
     p_lanes = feats.shape[1]
     grid = (p_lanes // A_BLOCK,)
@@ -370,8 +387,6 @@ def trace_decode(scene, tables: FusedTables, feats, aparams, env_hw,
     )
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                       memory_space=pltpu.VMEM)
-    col = pl.BlockSpec((A_BLOCK, 1), lambda i: (i, 0),
-                       memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -392,17 +407,13 @@ def trace_decode(scene, tables: FusedTables, feats, aparams, env_hw,
             full(tables.mattab.shape),
             full(tables.texmeta.shape),
         ],
-        out_specs=(
-            pl.BlockSpec((A_BLOCK, _RP_COLS), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            col, col, col,
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((p_lanes, _RP_COLS), jnp.float32),
-            jax.ShapeDtypeStruct((p_lanes, 1), jnp.float32),
-            jax.ShapeDtypeStruct((p_lanes, 1), jnp.float32),
-            jax.ShapeDtypeStruct((p_lanes, 1), jnp.float32),
-        ),
+        out_specs=pl.BlockSpec((_RO_ROWS, A_BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((_RO_ROWS, p_lanes), jnp.float32),
+        # The one-hot decode block + intersect temporaries exceed the
+        # default 16 MB scoped-vmem budget; v5e has 128 MB of VMEM.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(aparams, feats,
       mm.sphere_coeff, mm.tri_coeff, mm.box_coeff,
@@ -442,13 +453,13 @@ def _inclusive_rank(free_f):
     b = free_f.shape[0]
     r = b // LANE
     m = jnp.reshape(free_f, (r, LANE))
-    iu = jax.lax.broadcasted_iota(jnp.float32, (LANE, LANE), 0)
-    ju = jax.lax.broadcasted_iota(jnp.float32, (LANE, LANE), 1)
+    iu = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
+    ju = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
     upper = (iu <= ju).astype(jnp.float32)
     within = jnp.dot(m, upper, preferred_element_type=jnp.float32)
     rowsum = within[:, LANE - 1:LANE]                     # [R, 1]
-    il = jax.lax.broadcasted_iota(jnp.float32, (r, r), 0)
-    jl = jax.lax.broadcasted_iota(jnp.float32, (r, r), 1)
+    il = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
+    jl = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
     strict = (jl < il).astype(jnp.float32)
     offs = jnp.dot(strict, rowsum, preferred_element_type=jnp.float32)
     return jnp.reshape(within + offs, (b,))
@@ -529,7 +540,7 @@ def _raygen(bp, seed, pix_i32, samp_i32, width: int):
 
 def _shade_advance_kernel(
     iscal_ref, fscal_ref, bparams_ref, rec_ref,
-    texrow_ref, texr_ref, texg_ref, texb_ref, gu_ref, gv_ref,
+    texr_ref, texg_ref, texb_ref, gu_ref, gv_ref,
     envr_ref, envg_ref, envb_ref,
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     thx_ref, thy_ref, thz_ref, rdx_ref, rdy_ref, rdz_ref,
@@ -549,7 +560,7 @@ def _shade_advance_kernel(
 
     prog = pl.program_id(0)
     nprog = pl.num_programs(0)
-    b = rec_ref.shape[0]
+    b = rec_ref.shape[1]
     bp = tuple(bparams_ref[0, k] for k in range(_BP_COLS))
 
     @pl.when(prog == 0)
@@ -558,40 +569,44 @@ def _shade_advance_kernel(
         seg_sm[0] = fscal_ref[0, 0]
         lc_sm[0] = jnp.int32(0)
 
-    seed = jax.lax.bitcast_convert_type(iscal_ref[0, 0], jnp.uint32)
+    # i32 -> u32 convert is modular in XLA/Mosaic, i.e. bit-preserving
+    # (tpu.bitcast only accepts vectors).
+    seed = iscal_ref[0, 0].astype(jnp.uint32)
     sample_offset = iscal_ref[0, 2]
 
-    col = lambda ref: ref[:][:, 0]
     rec = rec_ref[:]
-    hit = rec[:, _RP_HIT] > 0.5
-    normal = (rec[:, _RP_N], rec[:, _RP_N + 1], rec[:, _RP_N + 2])
-    tangent = (rec[:, _RP_TAN], rec[:, _RP_TAN + 1], rec[:, _RP_TAN + 2])
-    bitangent = (rec[:, _RP_BIT], rec[:, _RP_BIT + 1], rec[:, _RP_BIT + 2])
-    hp = (rec[:, _RP_P], rec[:, _RP_P + 1], rec[:, _RP_P + 2])
-    front = rec[:, _RP_FRONT] > 0.5
-    mtype = rec[:, _RP_MTYPE]
-    param = rec[:, _RP_PARAM]
-    bstr = rec[:, _RP_BSTR]
-    base_col = (rec[:, _RP_BASE], rec[:, _RP_BASE + 1], rec[:, _RP_BASE + 2])
-    gate_u = rec[:, _RP_GU]
-    gate_v = rec[:, _RP_GV]
+    hit = rec[_RO_HIT] > 0.5
+    t_hit = rec[_RO_T]
+    normal = (rec[_RO_N], rec[_RO_N + 1], rec[_RO_N + 2])
+    tangent = (rec[_RO_TAN], rec[_RO_TAN + 1], rec[_RO_TAN + 2])
+    bitangent = (rec[_RO_BIT], rec[_RO_BIT + 1], rec[_RO_BIT + 2])
+    front = rec[_RO_FRONT] > 0.5
+    mtype = rec[_RO_MTYPE]
+    param = rec[_RO_PARAM]
+    bstr = rec[_RO_BSTR]
+    base_col = (rec[_RO_BASE], rec[_RO_BASE + 1], rec[_RO_BASE + 2])
+    gate_u = rec[_RO_GU]
+    gate_v = rec[_RO_GV]
 
     # Image-texture lanes take the gathered texel; everything else
     # (checker / solid / missing-cyan) was resolved by kernel A into
     # base_col and carries texrow == -1.
-    is_image_lane = col(texrow_ref) >= -0.5
-    gathered = (col(texr_ref), col(texg_ref), col(texb_ref))
+    is_image_lane = rec[_RO_TEXROW] >= -0.5
+    gathered = (texr_ref[:], texg_ref[:], texb_ref[:])
     tex3 = tuple(jnp.where(is_image_lane, gathered[k], base_col[k])
                  for k in range(3))
 
-    o = (col(ox_ref), col(oy_ref), col(oz_ref))
-    d = (col(dx_ref), col(dy_ref), col(dz_ref))
-    thr = (col(thx_ref), col(thy_ref), col(thz_ref))
-    rad = (col(rdx_ref), col(rdy_ref), col(rdz_ref))
-    live = col(live_ref) > 0
-    bounce = col(bounce_ref)
-    samp = col(samp_ref)
-    li = col(li_ref)
+    o = (ox_ref[:], oy_ref[:], oz_ref[:])
+    d = (dx_ref[:], dy_ref[:], dz_ref[:])
+    thr = (thx_ref[:], thy_ref[:], thz_ref[:])
+    rad = (rdx_ref[:], rdy_ref[:], rdz_ref[:])
+    live = live_ref[:] > 0
+    bounce = bounce_ref[:]
+    samp = samp_ref[:]
+    li = li_ref[:]
+    # Hit point recomputed exactly as the decoders' soa.axpy(t, d, o).
+    t_safe = jnp.where(hit, t_hit, 1.0)
+    hp = tuple(t_safe * d[k] + o[k] for k in range(3))
 
     lr = rng.LaneRng(seed, li.astype(jnp.uint32), samp.astype(jnp.uint32),
                      bounce.astype(jnp.uint32) << jnp.uint32(1))
@@ -605,20 +620,20 @@ def _shade_advance_kernel(
         bg = tuple(bp[_BP_BG + k] * bp[_BP_INTENSITY] * one
                    for k in range(3))
     else:
-        bg = tuple(col(r) * bp[_BP_INTENSITY]
+        bg = tuple(r[:] * bp[_BP_INTENSITY]
                    for r in (envr_ref, envg_ref, envb_ref))
 
     # --- branchless scatter (shade.scatter_soa post-fetch math) ---
     sphere_draw, choice_u = rng.draw_unit_vector_and_uniform_soa(
         lr, rng.STREAM_SCATTER)
-    f_u = col(gu_ref) * gate_u * bstr
-    f_v = col(gv_ref) * gate_v * bstr
+    f_u = gu_ref[:] * gate_u * bstr
+    f_v = gv_ref[:] * gate_v * bstr
     n_b = tuple(normal[k] - f_u * tangent[k] - f_v * bitangent[k]
                 for k in range(3))
     # scatter_soa applies normalize(n_b) whenever the material HAS a bump
     # map (bump_id >= 0) even when both taps are zero; kernel A mirrors
-    # that presence bit into the last recpack column.
-    has_bump = rec[:, _RP_COLS - 1] > 0.5
+    # that presence bit into the _RO_HASB row.
+    has_bump = rec[_RO_HASB] > 0.5
     working_n = soa.where(has_bump, soa.normalize(n_b), normal)
     unit_in = soa.normalize(d)
 
@@ -697,7 +712,10 @@ def _shade_advance_kernel(
     rank = _inclusive_rank(free_f).astype(jnp.int32) - 1
     new_w = base + rank
     can_spawn = free & (new_w < total_work)
-    block_free = jnp.sum(free_f).astype(jnp.int32)
+    # 1-D [B] reductions hit Mosaic's "Offset change" limitation; reduce
+    # in the (R, LANE) layout instead.
+    blocksum = lambda v: jnp.sum(jnp.reshape(v, (b // LANE, LANE)))
+    block_free = blocksum(free_f).astype(jnp.int32)
     base_sm[0] = base + block_free
 
     w = jnp.clip(new_w, 0, total_work - 1)
@@ -729,18 +747,18 @@ def _shade_advance_kernel(
          n_thx_ref, n_thy_ref, n_thz_ref, n_rdx_ref, n_rdy_ref, n_rdz_ref),
         outs,
     ):
-        ref[:] = val[:, None]
-    n_live_ref[:] = n_live.astype(jnp.int32)[:, None]
-    n_bounce_ref[:] = jnp.where(can_spawn, 0, bounce + 1)[:, None]
-    n_samp_ref[:] = sel(new_samp, samp)[:, None]
-    n_li_ref[:] = sel(new_li, li)[:, None]
-    cr_ref[:] = cr[:, None]
-    cg_ref[:] = cg[:, None]
-    cb_ref[:] = cb[:, None]
-    tgt_ref[:] = tgt[:, None]
+        ref[:] = val
+    n_live_ref[:] = n_live.astype(jnp.int32)
+    n_bounce_ref[:] = jnp.where(can_spawn, 0, bounce + 1)
+    n_samp_ref[:] = sel(new_samp, samp)
+    n_li_ref[:] = sel(new_li, li)
+    cr_ref[:] = cr
+    cg_ref[:] = cg
+    cb_ref[:] = cb
+    tgt_ref[:] = tgt
 
-    seg_sm[0] = seg_sm[0] + jnp.sum(live.astype(jnp.float32))
-    lc_sm[0] = lc_sm[0] + jnp.sum(n_live.astype(jnp.int32))
+    seg_sm[0] = seg_sm[0] + blocksum(live.astype(jnp.float32))
+    lc_sm[0] = lc_sm[0] + blocksum(n_live.astype(jnp.float32)).astype(jnp.int32)
 
     @pl.when(prog == nprog - 1)
     def _fin():
@@ -749,21 +767,21 @@ def _shade_advance_kernel(
         lc_ref[0, 0] = lc_sm[0]
 
 
-def shade_advance(tables: FusedTables, iscal, fscal, bparams, rec, texrow,
+def shade_advance(tables: FusedTables, iscal, fscal, bparams, rec,
                   tex3, bump2, env3, state_cols, *,
                   n_pixels: int, width: int, total_work: int, max_depth: int,
                   env_mode: int, spp: int, interpret=False):
     """Kernel-B wrapper.
 
-    state_cols: 16 arrays [P, 1] in kernel order (o3, d3, thr3, rad3 f32;
-    live, bounce, samp, li i32). Returns (new_state_cols (16), contrib r/g/b
-    [P,1], tgt [P,1] i32, next_work [1,1] i32, segments [1,1] f32,
-    live_count [1,1] i32).
+    rec: the [_RO_ROWS, P] kernel-A output. state_cols: 16 flat [P]
+    arrays in kernel order (o3, d3, thr3, rad3 f32; live, bounce, samp,
+    li i32). Returns (new_state_cols (16), contrib r/g/b [P], tgt [P]
+    i32, next_work [1,1] i32, segments [1,1] f32, live_count [1,1] i32).
     """
-    p_lanes = rec.shape[0]
+    p_lanes = rec.shape[1]
     grid = (p_lanes // B_BLOCK,)
-    col_f = pl.BlockSpec((B_BLOCK, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM)
+    lane = pl.BlockSpec((B_BLOCK,), lambda i: (i,),
+                        memory_space=pltpu.VMEM)
     scal = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                       memory_space=pltpu.SMEM)
     kernel = functools.partial(
@@ -771,25 +789,22 @@ def shade_advance(tables: FusedTables, iscal, fscal, bparams, rec, texrow,
         total_work=total_work, max_depth=max_depth, env_mode=env_mode,
         spp=spp,
     )
-    col_shape_f = jax.ShapeDtypeStruct((p_lanes, 1), jnp.float32)
-    col_shape_i = jax.ShapeDtypeStruct((p_lanes, 1), jnp.int32)
+    lane_f = jax.ShapeDtypeStruct((p_lanes,), jnp.float32)
+    lane_i = jax.ShapeDtypeStruct((p_lanes,), jnp.int32)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             scal((1, 4)), scal((1, 2)), scal((1, _BP_COLS)),
-            pl.BlockSpec((B_BLOCK, _RP_COLS), lambda i: (i, 0),
+            pl.BlockSpec((_RO_ROWS, B_BLOCK), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            col_f,                       # texrow
-            col_f, col_f, col_f,         # tex r/g/b
-            col_f, col_f,                # bump gu/gv
-            col_f, col_f, col_f,         # env r/g/b
-        ] + [col_f] * 12 + [col_f] * 4,  # state (i32 cols use same spec)
-        out_specs=tuple([col_f] * 12 + [col_f] * 4 + [col_f] * 3 + [col_f]
-                        + [scal((1, 1))] * 3),
+            lane, lane, lane,            # tex r/g/b
+            lane, lane,                  # bump gu/gv
+            lane, lane, lane,            # env r/g/b
+        ] + [lane] * 16,                 # state
+        out_specs=tuple([lane] * 20 + [scal((1, 1))] * 3),
         out_shape=tuple(
-            [col_shape_f] * 12 + [col_shape_i] * 4
-            + [col_shape_f] * 3 + [col_shape_i]
+            [lane_f] * 12 + [lane_i] * 4 + [lane_f] * 3 + [lane_i]
             + [jax.ShapeDtypeStruct((1, 1), jnp.int32),
                jax.ShapeDtypeStruct((1, 1), jnp.float32),
                jax.ShapeDtypeStruct((1, 1), jnp.int32)]
@@ -799,8 +814,10 @@ def shade_advance(tables: FusedTables, iscal, fscal, bparams, rec, texrow,
             pltpu.SMEM((1,), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(iscal, fscal, bparams, rec, texrow, *tex3, *bump2, *env3, *state_cols)
+    )(iscal, fscal, bparams, rec, *tex3, *bump2, *env3, *state_cols)
     return out
 
 
@@ -810,18 +827,19 @@ def shade_advance(tables: FusedTables, iscal, fscal, bparams, rec, texrow,
 
 
 class FusedPoolState(NamedTuple):
-    """Loop carry of the fused pooled-wavefront (all [P, 1] columns)."""
+    """Loop carry of the fused pooled-wavefront (per-lane arrays are flat
+    [P] vectors — the dense T(1024) layout every kernel block maps 1:1)."""
 
     next_work: jax.Array   # i32 [1, 1]
     live_count: jax.Array  # i32 [1, 1]
-    o: tuple               # 3 x f32 [P, 1]
+    o: tuple               # 3 x f32 [P]
     d: tuple
     thr: tuple
     rad: tuple
-    live: jax.Array        # i32 [P, 1]
-    bounce: jax.Array      # i32 [P, 1]
-    samp: jax.Array        # i32 [P, 1]
-    li: jax.Array          # i32 [P, 1]
+    live: jax.Array        # i32 [P]
+    bounce: jax.Array      # i32 [P]
+    samp: jax.Array        # i32 [P]
+    li: jax.Array          # i32 [P]
     acc: dict              # {"beauty.x/y/z": f32 [n+1]}
     segments: jax.Array    # f32 [1, 1]
     steps: jax.Array       # i32 []
@@ -877,23 +895,22 @@ def make_pool_fused(scene, cam, env, key, config, sample_offset=0,
     samp0 = sample_offset + samp_rel
     lr0 = rng.LaneRng(seed, li0.astype(jnp.uint32), samp0.astype(jnp.uint32),
                       jnp.uint32(0))
-    o0, d0 = camera_mod.generate_rays_soa(cam, lr0, li0, config.width)
+    o0, d0 = camera_mod.generate_rays_soa(cam, lr0, li0, config.width,
+                                          config.n_pixels)
     live0 = (w0 < total_work).astype(jnp.int32)
-    colf = lambda x: jnp.asarray(x, jnp.float32)[:, None]
-    coli = lambda x: jnp.asarray(x, jnp.int32)[:, None]
     ones = jnp.ones((p,), jnp.float32)
     zeros = jnp.zeros((p,), jnp.float32)
     state0 = FusedPoolState(
         next_work=jnp.full((1, 1), min(p, total_work), jnp.int32),
         live_count=jnp.sum(live0)[None, None],
-        o=tuple(colf(c) for c in o0),
-        d=tuple(colf(c) for c in d0),
-        thr=(colf(ones), colf(ones), colf(ones)),
-        rad=(colf(zeros), colf(zeros), colf(zeros)),
-        live=coli(live0),
-        bounce=coli(jnp.zeros((p,), jnp.int32)),
-        samp=coli(samp0),
-        li=coli(li0),
+        o=tuple(jnp.asarray(c, jnp.float32) for c in o0),
+        d=tuple(jnp.asarray(c, jnp.float32) for c in d0),
+        thr=(ones, ones, ones),
+        rad=(zeros, zeros, zeros),
+        live=live0,
+        bounce=jnp.zeros((p,), jnp.int32),
+        samp=jnp.asarray(samp0, jnp.int32),
+        li=jnp.asarray(li0, jnp.int32),
         acc={f"beauty.{c}": jnp.zeros((n + 1,), jnp.float32) for c in "xyz"},
         segments=jnp.zeros((1, 1), jnp.float32),
         steps=jnp.zeros((), jnp.int32),
@@ -904,25 +921,24 @@ def make_pool_fused(scene, cam, env, key, config, sample_offset=0,
 
     def body(s: FusedPoolState):
         # Kernel A: trace + decode.
-        feats = intersect.ray_features_soa(
-            tuple(c[:, 0] for c in s.o), tuple(c[:, 0] for c in s.d))
-        rec, texrow, bumprow, envrow = trace_decode(
+        feats = intersect.ray_features_soa(s.o, s.d)
+        rec = trace_decode(
             scene, tables, feats, aparams, env_hw, interpret=interpret)
 
         # XLA seam: the per-lane gathers Pallas cannot vectorize.
-        trow = jnp.clip(texrow[:, 0], 0.0, None).astype(jnp.int32)
-        brow = jnp.clip(bumprow[:, 0], 0.0, None).astype(jnp.int32)
-        tex3 = tuple(tables.atlas_flat[k][trow][:, None] for k in range(3))
-        bump2 = tuple(tables.grad_flat[k][brow][:, None] for k in range(2))
+        trow = jnp.clip(rec[_RO_TEXROW], 0.0, None).astype(jnp.int32)
+        brow = jnp.clip(rec[_RO_BUMPROW], 0.0, None).astype(jnp.int32)
+        tex3 = tuple(tables.atlas_flat[k][trow] for k in range(3))
+        bump2 = tuple(tables.grad_flat[k][brow] for k in range(2))
         if env_hw is not None:
-            erow = envrow[:, 0].astype(jnp.int32)
-            env3 = tuple(tables.env_flat[k][erow][:, None] for k in range(3))
+            erow = rec[_RO_ENVROW].astype(jnp.int32)
+            env3 = tuple(tables.env_flat[k][erow] for k in range(3))
         else:
-            zc = jnp.zeros((p, 1), jnp.float32)
+            zc = jnp.zeros((p,), jnp.float32)
             env3 = (zc, zc, zc)
 
         iscal = jnp.concatenate([
-            jax.lax.bitcast_convert_type(seed, jnp.int32)[None],
+            seed.astype(jnp.int32)[None],  # modular, bit-preserving
             s.next_work[0, 0][None],
             sample_offset[None], jnp.zeros((1,), jnp.int32),
         ]).reshape(1, 4)
@@ -933,7 +949,7 @@ def make_pool_fused(scene, cam, env, key, config, sample_offset=0,
         state_cols = (*s.o, *s.d, *s.thr, *s.rad,
                       s.live, s.bounce, s.samp, s.li)
         out = shade_advance(
-            tables, iscal, fscal, bparams, rec, texrow, tex3, bump2, env3,
+            tables, iscal, fscal, bparams, rec, tex3, bump2, env3,
             state_cols, n_pixels=n, width=config.width,
             total_work=total_work, max_depth=config.max_depth,
             env_mode=env_mode, spp=spp, interpret=interpret,
@@ -943,11 +959,10 @@ def make_pool_fused(scene, cam, env, key, config, sample_offset=0,
          cr, cg, cb, tgt, nw, seg, lc) = out
 
         # XLA seam: masked scatter-add of finished-path radiance.
-        tgt1 = tgt[:, 0]
         acc = dict(s.acc)
         for name, val in (("beauty.x", cr), ("beauty.y", cg),
                           ("beauty.z", cb)):
-            acc[name] = acc[name].at[tgt1].add(val[:, 0])
+            acc[name] = acc[name].at[tgt].add(val)
 
         return FusedPoolState(
             next_work=nw, live_count=lc,

@@ -599,18 +599,32 @@ def intersect_brute(scene: Scene, o, d, tmin, tmax=None) -> Hit:
 BVH_MIN_PRIMS = 8192
 
 
+def intersect_dispatch(scene: Scene, tmin) -> str:
+    """The single closest-hit routing decision, shared by intersect and
+    intersect_soa so the chunked and pooled paths can never silently pick
+    different intersectors: "bvh" | "pallas" | "mm" | "brute"."""
+    if scene.bvh is not None and scene.primitive_count >= BVH_MIN_PRIMS:
+        return "bvh"
+    if scene.mm is not None:
+        if jax.default_backend() == "tpu" and jnp.ndim(tmin) == 0:
+            return "pallas"
+        return "mm"
+    return "brute"
+
+
 def intersect(scene: Scene, o, d, tmin) -> Hit:
     """Closest hit: MXU matmul scan when coefficient tables are present,
     classic brute scan otherwise; threaded BVH for very large scenes."""
-    if scene.bvh is not None and scene.primitive_count >= BVH_MIN_PRIMS:
+    path = intersect_dispatch(scene, tmin)
+    if path == "bvh":
         from . import traverse
 
         return traverse.intersect_bvh(scene, o, d, tmin)
-    if scene.mm is not None:
-        if jax.default_backend() == "tpu" and jnp.ndim(tmin) == 0:
-            from . import pallas_intersect
+    if path == "pallas":
+        from . import pallas_intersect
 
-            return pallas_intersect.intersect_brute_pallas(scene, o, d, tmin)
+        return pallas_intersect.intersect_brute_pallas(scene, o, d, tmin)
+    if path == "mm":
         return intersect_brute_mm(scene, o, d, tmin)
     return intersect_brute(scene, o, d, tmin)
 
@@ -958,14 +972,21 @@ class HitRecordSoa(NamedTuple):
     hit: jax.Array
 
 
-def _sphere_record_soa(g, o, d, t):
+def _sphere_record_soa(g, o, d, t, acos_fn=None, atan2_fn=None):
     """SoA twin of _sphere_record_from (sphere.hpp:40-59).
 
     g is a tuple of per-column [N] arrays (cols 0:5 used): the former
     [N, 28] row-gather matrix pads its minor dim 28 -> 128 lanes on TPU
     (4.6x memory bloat) and every column read re-streams the padded tiles
     — measured ~18 ms/step at 262k lanes; per-component 1-D arrays tile
-    densely."""
+    densely.
+
+    acos_fn/atan2_fn: overrides for contexts where the exact primitives
+    cannot lower (Mosaic has no acos/atan2 — the fused kernel passes
+    core.vecmath polynomial versions; they only steer the nearest-neighbor
+    texture lookup through u, v)."""
+    acos_fn = acos_fn or vecmath.safe_arccos
+    atan2_fn = atan2_fn or jnp.arctan2
     center = (g[0], g[1], g[2])
     radius = jnp.maximum(jnp.abs(g[3]), 1e-6)
     mat = g[4].astype(jnp.int32)
@@ -974,8 +995,8 @@ def _sphere_record_soa(g, o, d, t):
     front = soa.dot(d, outward) < 0.0
     normal = soa.where(front, outward, soa.neg(outward))
 
-    theta = vecmath.safe_arccos(-outward[1])
-    phi = jnp.arctan2(-outward[2], outward[0]) + PI
+    theta = acos_fn(-outward[1])
+    phi = atan2_fn(-outward[2], outward[0]) + PI
     u = phi / (2.0 * PI)
     v = theta / PI
 
@@ -1155,10 +1176,7 @@ def ray_features_soa(o, d):
 
 def intersect_soa(scene: Scene, o, d, tmin) -> Hit:
     """SoA twin of intersect: o, d are component tuples of [N] arrays."""
-    if (scene.mm is not None and jax.default_backend() == "tpu"
-            and jnp.ndim(tmin) == 0
-            and not (scene.bvh is not None
-                     and scene.primitive_count >= BVH_MIN_PRIMS)):
+    if intersect_dispatch(scene, tmin) == "pallas":
         from . import pallas_intersect
 
         return pallas_intersect.intersect_brute_pallas_feats(

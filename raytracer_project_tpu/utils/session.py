@@ -225,15 +225,25 @@ class RenderSession:
         return post_mod.auto_exposure(self.post_params, self.statistics(),
                                       self.post_config)
 
-    def display(self, current_pass: int = post_mod.PASS_RGB) -> np.ndarray:
-        """Post-processed uint8 frame for preview (main.cpp:1538-1645)."""
+    def display(self, current_pass: int = post_mod.PASS_RGB,
+                denoise_specular: bool = False) -> np.ndarray:
+        """Post-processed uint8 frame for preview (main.cpp:1538-1645).
+
+        denoise_specular: also denoise the reflection/refraction passes
+        with the albedo/normal guides, matching the reference's OIDN run
+        over beauty AND the specular AOVs (camera.hpp:270-291).
+        """
         buf = self.buffers()[PASS_BUFFERS[current_pass]]
-        if current_pass == post_mod.PASS_DENOISE:
+        if current_pass == post_mod.PASS_DENOISE or (
+            denoise_specular
+            and current_pass in (post_mod.PASS_REFLECTIONS,
+                                 post_mod.PASS_REFRACTIONS)
+        ):
             from ..ops import denoise as denoise_mod
 
             b = self.buffers()
-            buf = denoise_mod.atrous_denoise(b["beauty"], b["albedo"],
-                                             b["normal"])
+            buf = denoise_mod.atrous_denoise(
+                b[PASS_BUFFERS[current_pass]], b["albedo"], b["normal"])
         params = self.post_params._replace(exposure=self.resolved_exposure())
         img = post_mod.update_post_processing(buf, params, self.post_config,
                                               current_pass)

@@ -138,6 +138,7 @@ print("WORKER_OK", pid)
 
 
 
+@pytest.mark.slow
 def test_multiprocess_render_matches_single(tmp_path):
     """2 processes x 4 virtual CPU devices under jax.distributed render the
     same image as a plain single-process render."""

@@ -63,6 +63,7 @@ def _fd_check(state, cfg, key, path, index, rtol=0.08, eps=1e-3):
     np.testing.assert_allclose(g_i, fd, rtol=rtol, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_grad_albedo_matches_fd(key):
     state, cfg = _tiny_state(env_mod.SOLID_COLOR)
     # red channel of material 0 ("red" lambertian)
@@ -91,6 +92,7 @@ def test_grad_metal_fuzz_matches_fd(key):
     _fd_check(state, cfg, key, "scene.materials.param", 3, rtol=0.15)
 
 
+@pytest.mark.slow
 def test_grad_geometry_finite(key):
     """Gradients w.r.t. sphere centers/radii must be finite (the safe_sqrt
     double-where in the intersection kernels): detached-sampling ignores
@@ -113,6 +115,7 @@ def test_grad_geometry_finite(key):
     assert float(jnp.max(jnp.abs(grads["scene.spheres.center"]))) > 0.0
 
 
+@pytest.mark.slow
 def test_grad_showcase_scale_matches_fd(key):
     """Detached-traversal AD at full showcase scale (SURVEY §7/S7): the
     1,400+-primitive scene keeps its MXU tables and BVH — the traversal
@@ -199,6 +202,7 @@ def test_detached_intersect_t_grad_matches_fd():
     np.testing.assert_allclose(g, fd, rtol=5e-3)
 
 
+@pytest.mark.slow
 def test_inverse_rendering_recovers_albedo(key):
     """End-to-end fit: start from a wrong albedo, recover the target image's
     material color by gradient descent (the reference has no equivalent —

@@ -50,6 +50,7 @@ def test_eight_devices_available():
 
 
 @pytest.mark.parametrize("n_dev", [2, 8])
+@pytest.mark.slow
 def test_shard_invariance(setup, n_dev):
     scene, cfg, cam, env, key, single = setup
     mesh = prender.make_mesh(n_dev)

@@ -67,6 +67,7 @@ def test_unknown_types_raise(tmp_path):
         sceneio.load_scene_file(str(p))
 
 
+@pytest.mark.slow
 def test_cli_render_smoke(tmp_path):
     """End-to-end: CLI renders the demo scene at tiny settings to PNGs."""
     out = tmp_path / "out"

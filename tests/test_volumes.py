@@ -4,6 +4,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from raytracer_project_tpu.core import rng as rng_mod
 from raytracer_project_tpu.models import camera as cam_mod
@@ -78,6 +79,7 @@ def test_surface_preempts_distant_volume(key):
     np.testing.assert_allclose(np.asarray(t), 1.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_fog_render_darkens_background(key):
     """Dense dark fog attenuates a bright background (integration check)."""
     def render(with_fog):

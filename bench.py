@@ -2,14 +2,17 @@
 """Benchmark driver: renders the showcase scene on the available accelerator
 and reports throughput as one JSON line.
 
-Headline metric: rays/s computed as width*height*spp*max_depth / wall_time —
-the same upper-bound estimator the reference engine displays in its UI
-(/root/reference/main.cpp:101-113) — so numbers are comparable in kind.
-`detail.rays_per_s_measured` additionally reports *actual* traced path
-segments / wall_time from the pooled wavefront's on-device counter
-(ops/wavefront.py), which the reference cannot measure.
+Headline metric (`value`): MEASURED rays/s — actual traced path segments
+(the pooled wavefront's on-device counter, ops/wavefront.py) / wall_time.
+`detail.rays_per_s_upper_bound` additionally reports the reference UI's
+width*height*spp*max_depth / wall_time estimator
+(/root/reference/main.cpp:101-113) for comparability in kind; the
+reference cannot measure actual rays, and its estimator overstates
+throughput by the spp*max_depth / segments ratio (~4x on the showcase).
 `vs_baseline` is value / 1e9, the BASELINE.md north-star target
-(>1e9 rays/s on a v5e-16; this runs on however many chips are visible).
+(>1e9 measured rays/s on a v5e-16; this runs on whatever chips are
+visible). Falls back to the upper bound only when no segment counter
+exists (non-wavefront runs).
 
 Before timing anything, a smoke gate (raytracer_project_tpu/utils/smoke.py)
 runs in a SUBPROCESS under a hard timeout: a hung or faulting device kernel
@@ -110,9 +113,11 @@ def main():
         dt = min(dt, time.perf_counter() - t0)
 
     rays = width * height * spp * max_depth
-    rays_per_s = rays / dt
+    upper_bound = rays / dt
     segments = (float(stats["segments"])
                 if stats.get("segments") is not None else None)
+    measured = (segments / dt) if segments else None
+    rays_per_s = measured if measured is not None else upper_bound
 
     # Which closest-hit backend actually serves the hot path (mirrors the
     # dispatch in ops/intersect.py:intersect) — "bvh": true alone was
@@ -139,8 +144,8 @@ def main():
             "primitives": int(scene.primitive_count),
             "devices": [str(d) for d in jax.devices()],
             "intersector": hot_path,
-            "rays_per_s_upper_bound": rays_per_s,
-            "rays_per_s_measured": (segments / dt) if segments else None,
+            "rays_per_s_upper_bound": upper_bound,
+            "rays_per_s_measured": measured,
             "segments_traced": segments,
             "pool_steps": (int(stats["steps"])
                            if stats.get("steps") is not None else None),

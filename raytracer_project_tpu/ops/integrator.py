@@ -77,7 +77,12 @@ class RenderConfig:
     # max_depth, so intersection work tracks actual path segments. Same
     # per-sample values; per-pixel sums differ from the chunked path only in
     # float addition order. Ignored when differentiable=True.
-    wavefront: bool = False
+    # Default ON: the pool is the fastest engine (2.6x the chunked path on
+    # v5e before kernel fusion; the fused two-kernel step on top) and the
+    # one the session/CLI ship. Auto-disabled when differentiable=True
+    # (reverse-mode needs the fixed-depth chunked loop); the chunked path
+    # remains the oracle the pool is equivalence-tested against.
+    wavefront: bool = True
     # Lane-pool size for wavefront mode (None = auto).
     pool_lanes: int | None = None
     # Re-partition pool lanes by direction-octant/origin-Morton each step so

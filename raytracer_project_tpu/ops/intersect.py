@@ -179,16 +179,10 @@ class MMTables(NamedTuple):
     columns are all-zero, which decodes as always-invalid candidates
     (det == 0 / radius-free c == 0).
 
-    sphere_coeff_t/tri_coeff_t are the same coefficients re-blocked for the
-    binned-pair kernel: [n_chunks, G*MM_FINE, 16] — one chunk's whole
-    coefficient block is a static leading-index slice, pre-transposed so the
-    kernel's matmul is a plain [G*FINE, 16] @ [16, B] with pairs on lanes.
-
-    sphere_bounds/tri_bounds hold one conservative AABB per MM_FINE-wide
-    coefficient chunk ([min xyz, max xyz]); the binned intersector assigns
-    (ray, chunk) pairs by exact per-ray slab tests against them, and the
-    union-cull kernel skips whole chunks a ray block cannot reach. Padding
-    chunks carry an empty (inverted) AABB, so they never produce pairs.
+    sphere_bounds/tri_bounds/box_bounds hold one conservative AABB per
+    MM_FINE-wide coefficient chunk ([min xyz, max xyz]); the union-cull
+    kernel skips whole chunks a ray block cannot reach. Padding chunks
+    carry an empty (inverted) AABB, so they never pass the slab test.
     Tight chunk bounds rely on SceneBuilder's Morton ordering of the
     primitive tables.
     """
@@ -196,8 +190,6 @@ class MMTables(NamedTuple):
     sphere_coeff: Any    # f32[16, 2, Cs_pad]  outputs (h, c)
     tri_coeff: Any       # f32[16, 4, Ct_pad]  outputs (det, u_num, v_num, t_num)
     box_coeff: Any       # f32[16, 6, Cb_pad]  outputs (dl xyz, ol xyz)
-    sphere_coeff_t: Any  # f32[Cs_pad/MM_FINE, 2*MM_FINE, 16]
-    tri_coeff_t: Any     # f32[Ct_pad/MM_FINE, 4*MM_FINE, 16]
     sphere_bounds: Any   # f32[Cs_pad/MM_FINE, 6]  per-chunk AABB (min, max)
     tri_bounds: Any      # f32[Ct_pad/MM_FINE, 6]
     box_bounds: Any      # f32[Cb_pad/MM_FINE, 6]
@@ -221,20 +213,6 @@ def _chunk_bounds(pmin, pmax, n_chunks, width=MM_FINE):
             out[k, 0:3] = pmin[lo:hi][sel].min(0)
             out[k, 3:6] = pmax[lo:hi][sel].max(0)
     return out
-
-
-def _reblock_coeff_t(coeff):
-    """[16, G, C_pad] -> [C_pad/MM_FINE, G*MM_FINE, 16] chunk-major blocks
-    for the binned kernel (host-side numpy)."""
-    import numpy as np
-
-    f, g, c_pad = coeff.shape
-    nc = c_pad // MM_FINE
-    # [16, G, nc, FINE] -> [nc, G, FINE, 16] -> [nc, G*FINE, 16]
-    return np.ascontiguousarray(
-        coeff.reshape(f, g, nc, MM_FINE).transpose(2, 1, 3, 0)
-        .reshape(nc, g * MM_FINE, f)
-    )
 
 
 def build_mm_tables(spheres, triangles, boxes=None) -> MMTables:
@@ -328,8 +306,6 @@ def build_mm_tables(spheres, triangles, boxes=None) -> MMTables:
 
     return MMTables(
         sphere_coeff=sc, tri_coeff=tc, box_coeff=bc,
-        sphere_coeff_t=_reblock_coeff_t(sc),
-        tri_coeff_t=_reblock_coeff_t(tc),
         sphere_bounds=_chunk_bounds(smin, smax, cs_pad // MM_FINE),
         tri_bounds=_chunk_bounds(tmin_, tmax_, ct_pad // MM_FINE),
         box_bounds=_chunk_bounds(bmin, bmax, cb_pad // MM_FINE),

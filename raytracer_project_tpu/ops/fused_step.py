@@ -166,7 +166,6 @@ def fused_supported(scene, config, identity_pixels: bool) -> bool:
         scene.mm is not None
         and scene.volumes is None
         and identity_pixels
-        and not (config.use_albedo or config.use_normal or config.use_z_depth)
         and not (config.use_reflection or config.use_refraction)
         and config.n_pixels * config.samples_per_pixel < (1 << 24)
         and n_tex < (1 << 24)
@@ -439,7 +438,10 @@ _BP_SUN_INT = 24
 _BP_SUN_SIZE = 25
 _BP_INTENSITY = 26
 _BP_BG = 27        # 27:30 solid background color
-_BP_COLS = 32
+_BP_CAM_U = 30     # 30:33 camera right (view-space normal AOV)
+_BP_CAM_V = 33     # 33:36 camera up
+_BP_CAM_W = 36     # 36:39 camera backward
+_BP_COLS = 40
 
 # i32 scalar inputs [1, 4]: [seed(u32 bits), next_work, sample_offset, -]
 # f32 scalar inputs [1, 2]: [segments, -]
@@ -538,24 +540,34 @@ def _raygen(bp, seed, pix_i32, samp_i32, width: int):
     return o, d
 
 
+def _n_aov(aovs: tuple) -> int:
+    return (3 * ("albedo" in aovs) + 3 * ("normal" in aovs)
+            + ("z_depth" in aovs))
+
+
 def _shade_advance_kernel(
-    iscal_ref, fscal_ref, bparams_ref, rec_ref,
-    texr_ref, texg_ref, texb_ref, gu_ref, gv_ref,
-    envr_ref, envg_ref, envb_ref,
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-    thx_ref, thy_ref, thz_ref, rdx_ref, rdy_ref, rdz_ref,
-    live_ref, bounce_ref, samp_ref, li_ref,
-    # outputs
-    n_ox_ref, n_oy_ref, n_oz_ref, n_dx_ref, n_dy_ref, n_dz_ref,
-    n_thx_ref, n_thy_ref, n_thz_ref, n_rdx_ref, n_rdy_ref, n_rdz_ref,
-    n_live_ref, n_bounce_ref, n_samp_ref, n_li_ref,
-    cr_ref, cg_ref, cb_ref, tgt_ref,
-    nw_ref, seg_ref, lc_ref,
-    # scratch
-    base_sm, seg_sm, lc_sm,
-    *, n_pixels: int, width: int, total_work: int, max_depth: int,
-    env_mode: int, spp: int,
+    *refs,
+    n_pixels: int, width: int, total_work: int, max_depth: int,
+    env_mode: int, spp: int, aux: int, z_max: float, aovs: tuple,
 ):
+    # Positional ref unpacking (pallas passes refs flat; the AOV output
+    # count varies with the static config).
+    (iscal_ref, fscal_ref, bparams_ref, rec_ref,
+     texr_ref, texg_ref, texb_ref, gu_ref, gv_ref,
+     envr_ref, envg_ref, envb_ref) = refs[:12]
+    (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+     thx_ref, thy_ref, thz_ref, rdx_ref, rdy_ref, rdz_ref,
+     live_ref, bounce_ref, samp_ref, li_ref) = refs[12:28]
+    out = refs[28:]
+    (n_ox_ref, n_oy_ref, n_oz_ref, n_dx_ref, n_dy_ref, n_dz_ref,
+     n_thx_ref, n_thy_ref, n_thz_ref, n_rdx_ref, n_rdy_ref, n_rdz_ref,
+     n_live_ref, n_bounce_ref, n_samp_ref, n_li_ref) = out[:16]
+    cr_ref, cg_ref, cb_ref, tgt_ref = out[16:20]
+    na = _n_aov(aovs)
+    aov_refs = out[20:20 + na]
+    tgtaux_ref = out[20 + na] if aovs else None
+    nw_ref, seg_ref, lc_ref = out[-6:-3]
+    base_sm, seg_sm, lc_sm = out[-3:]
     from ..core import soa
 
     prog = pl.program_id(0)
@@ -700,6 +712,37 @@ def _shade_advance_kernel(
     thr = soa.where(late & active, soa.scale(thr, 1.0 / p_rr), thr)
     active = active & (bounce + 1 < max_depth)
 
+    # --- AOV contributions from camera segments (wavefront.body parity:
+    # bounce-0 beauty lanes with samp < aux; camera.hpp:463-487) ---
+    if aovs:
+        is_aux = live & (bounce == 0) & (samp < aux)
+        tgtaux_ref[:] = jnp.where(is_aux, li, n_pixels)
+        ai = 0
+        if "albedo" in aovs:
+            one_a = jnp.ones((b,), jnp.float32)
+            alb = list(tex3)
+            alb = [jnp.where(is_diel, one_a, c) for c in alb]
+            alb = [jnp.where(is_emit, jnp.minimum(tex3[k], 1.0), alb[k])
+                   for k in range(3)]
+            alb = [jnp.where(is_iso, 0.0, c) for c in alb]
+            for k in range(3):
+                aov_refs[ai][:] = jnp.where(is_aux & hit, alb[k], 0.0)
+                ai += 1
+        if "normal" in aovs:
+            nn = soa.normalize(normal)
+            for k, base_idx in enumerate((_BP_CAM_U, _BP_CAM_V, _BP_CAM_W)):
+                c = (nn[0] * bp[base_idx] + nn[1] * bp[base_idx + 1]
+                     + nn[2] * bp[base_idx + 2])
+                c = (c + 1.0) * 0.5
+                miss_c = 0.5 if k < 2 else 1.0
+                aov_refs[ai][:] = jnp.where(
+                    is_aux, jnp.where(hit, c, miss_c), 0.0)
+                ai += 1
+        if "z_depth" in aovs:
+            zval = 1.0 - jnp.clip(t_hit / z_max, 0.0, 1.0)
+            aov_refs[ai][:] = jnp.where(is_aux & hit, zval, 0.0)
+            ai += 1
+
     # --- finished paths -> contribution outputs ---
     done = live & ~active
     tgt = jnp.where(done, li, n_pixels)
@@ -770,13 +813,15 @@ def _shade_advance_kernel(
 def shade_advance(tables: FusedTables, iscal, fscal, bparams, rec,
                   tex3, bump2, env3, state_cols, *,
                   n_pixels: int, width: int, total_work: int, max_depth: int,
-                  env_mode: int, spp: int, interpret=False):
+                  env_mode: int, spp: int, aux: int, z_max: float,
+                  aovs: tuple, interpret=False):
     """Kernel-B wrapper.
 
     rec: the [_RO_ROWS, P] kernel-A output. state_cols: 16 flat [P]
     arrays in kernel order (o3, d3, thr3, rad3 f32; live, bounce, samp,
     li i32). Returns (new_state_cols (16), contrib r/g/b [P], tgt [P]
-    i32, next_work [1,1] i32, segments [1,1] f32, live_count [1,1] i32).
+    i32, per-AOV channels + tgt_aux when `aovs` is nonempty, next_work
+    [1,1] i32, segments [1,1] f32, live_count [1,1] i32).
     """
     p_lanes = rec.shape[1]
     grid = (p_lanes // B_BLOCK,)
@@ -787,10 +832,12 @@ def shade_advance(tables: FusedTables, iscal, fscal, bparams, rec,
     kernel = functools.partial(
         _shade_advance_kernel, n_pixels=n_pixels, width=width,
         total_work=total_work, max_depth=max_depth, env_mode=env_mode,
-        spp=spp,
+        spp=spp, aux=aux, z_max=z_max, aovs=aovs,
     )
     lane_f = jax.ShapeDtypeStruct((p_lanes,), jnp.float32)
     lane_i = jax.ShapeDtypeStruct((p_lanes,), jnp.int32)
+    na = _n_aov(aovs)
+    n_lane_outs = 20 + na + (1 if aovs else 0)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -802,9 +849,10 @@ def shade_advance(tables: FusedTables, iscal, fscal, bparams, rec,
             lane, lane,                  # bump gu/gv
             lane, lane, lane,            # env r/g/b
         ] + [lane] * 16,                 # state
-        out_specs=tuple([lane] * 20 + [scal((1, 1))] * 3),
+        out_specs=tuple([lane] * n_lane_outs + [scal((1, 1))] * 3),
         out_shape=tuple(
             [lane_f] * 12 + [lane_i] * 4 + [lane_f] * 3 + [lane_i]
+            + [lane_f] * na + ([lane_i] if aovs else [])
             + [jax.ShapeDtypeStruct((1, 1), jnp.int32),
                jax.ShapeDtypeStruct((1, 1), jnp.float32),
                jax.ShapeDtypeStruct((1, 1), jnp.int32)]
@@ -863,6 +911,12 @@ def make_pool_fused(scene, cam, env, key, config, sample_offset=0,
     sample_offset = jnp.asarray(sample_offset, jnp.int32)
     env_mode = config.env_mode
 
+    aovs = tuple(
+        name for name, on in (("albedo", config.use_albedo),
+                              ("normal", config.use_normal),
+                              ("z_depth", config.use_z_depth)) if on
+    )
+    aux = min(config.aux_samples, spp)
     tables = build_tables(scene, env, env_mode)
     env_hw = None
     if env_mode == env_mod.HDR_MAP:
@@ -884,7 +938,8 @@ def make_pool_fused(scene, cam, env, key, config, sample_offset=0,
         sun_dir, env.sun_color,
         env.sun_intensity[None], env.sun_size[None], env.intensity[None],
         env.background_color,
-        jnp.zeros((2,), jnp.float32),
+        cam.u, cam.v, cam.w,
+        jnp.zeros((1,), jnp.float32),
     ]).reshape(1, _BP_COLS)
 
     # --- initial fill (same decode as kernel B's respawn) ---
@@ -911,7 +966,8 @@ def make_pool_fused(scene, cam, env, key, config, sample_offset=0,
         bounce=jnp.zeros((p,), jnp.int32),
         samp=jnp.asarray(samp0, jnp.int32),
         li=jnp.asarray(li0, jnp.int32),
-        acc={f"beauty.{c}": jnp.zeros((n + 1,), jnp.float32) for c in "xyz"},
+        acc={f"{f}.{c}": jnp.zeros((n + 1,), jnp.float32)
+             for f in ("beauty",) + aovs for c in "xyz"},
         segments=jnp.zeros((1, 1), jnp.float32),
         steps=jnp.zeros((), jnp.int32),
     )
@@ -952,17 +1008,30 @@ def make_pool_fused(scene, cam, env, key, config, sample_offset=0,
             tables, iscal, fscal, bparams, rec, tex3, bump2, env3,
             state_cols, n_pixels=n, width=config.width,
             total_work=total_work, max_depth=config.max_depth,
-            env_mode=env_mode, spp=spp, interpret=interpret,
+            env_mode=env_mode, spp=spp, aux=aux, z_max=config.z_depth_max_dist,
+            aovs=aovs, interpret=interpret,
         )
         (n_ox, n_oy, n_oz, n_dx, n_dy, n_dz, n_thx, n_thy, n_thz,
          n_rdx, n_rdy, n_rdz, n_live, n_bounce, n_samp, n_li,
-         cr, cg, cb, tgt, nw, seg, lc) = out
+         cr, cg, cb, tgt) = out[:20]
+        na = _n_aov(aovs)
+        aov_vals = out[20:20 + na]
+        tgt_aux = out[20 + na] if aovs else None
+        nw, seg, lc = out[-3:]
 
-        # XLA seam: masked scatter-add of finished-path radiance.
+        # XLA seam: masked scatter-adds (finished-path radiance + the
+        # bounce-0 AOV contributions).
         acc = dict(s.acc)
         for name, val in (("beauty.x", cr), ("beauty.y", cg),
                           ("beauty.z", cb)):
             acc[name] = acc[name].at[tgt].add(val)
+        ai = 0
+        for f in aovs:
+            chans = 1 if f == "z_depth" else 3
+            for ci, c in enumerate("xyz"):
+                v = aov_vals[ai + min(ci, chans - 1)]
+                acc[f"{f}.{c}"] = acc[f"{f}.{c}"].at[tgt_aux].add(v)
+            ai += chans
 
         return FusedPoolState(
             next_work=nw, live_count=lc,
@@ -988,10 +1057,13 @@ def render_pool_fused(scene, cam, env, key, config, sample_offset=0,
     )
     final = jax.lax.while_loop(cond, body, state0)
     zeros3 = jnp.zeros((n, 3), jnp.float32)
-    beauty = jnp.stack([final.acc[f"beauty.{c}"][:n] for c in "xyz"],
-                       axis=-1)
-    out = SampleBuffers(beauty=beauty, albedo=zeros3, normal=zeros3,
-                        z_depth=zeros3, reflection=zeros3, refraction=zeros3)
+    get = lambda f: (
+        jnp.stack([final.acc[f"{f}.{c}"][:n] for c in "xyz"], axis=-1)
+        if f"{f}.x" in final.acc else zeros3
+    )
+    out = SampleBuffers(beauty=get("beauty"), albedo=get("albedo"),
+                        normal=get("normal"), z_depth=get("z_depth"),
+                        reflection=zeros3, refraction=zeros3)
     if with_stats:
         return out, {"segments": final.segments[0, 0],
                      "steps": final.steps}

@@ -108,8 +108,35 @@ def test_fused_supported_gates(scene):
     cfg = _cfg(env_mod.PHYSICAL_SUN)
     assert fused_step.fused_supported(scene, cfg, True)
     assert not fused_step.fused_supported(scene, cfg, False)
-    cfg_aov = integrator.RenderConfig(
+    cfg_spec = integrator.RenderConfig(
         width=48, height=27, samples_per_pixel=4, max_depth=6,
-        env_mode=env_mod.PHYSICAL_SUN, use_albedo=True, use_normal=False,
-        use_z_depth=False, wavefront=True)
-    assert not fused_step.fused_supported(scene, cfg_aov, True)
+        env_mode=env_mod.PHYSICAL_SUN, use_albedo=False, use_normal=False,
+        use_z_depth=False, use_reflection=True, wavefront=True)
+    assert not fused_step.fused_supported(scene, cfg_spec, True)
+
+
+def test_fused_aov_buffers(scene, key):
+    """AOV channels (albedo/normal/z) through the fused step match the
+    unfused pool. Beauty uses a tie-robust comparison: the kernels'
+    polynomial acos/atan2 (~1e-5 rad; Mosaic has no exact arcs) can flip
+    a nearest-neighbor bump texel on an exact boundary, diverging a few
+    paths — bounded here to <0.5% of channel values."""
+    import dataclasses
+
+    cfg = dataclasses.replace(_cfg(env_mod.PHYSICAL_SUN), use_albedo=True,
+                              use_normal=True, use_z_depth=True)
+    cam = _cam(cfg.width, cfg.height)
+    env = env_mod.make_environment(sun_direction=(0.3, 0.8, 0.2),
+                                   sun_intensity=4.0)
+    pixel_ids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
+    assert fused_step.fused_supported(scene, cfg, True)
+    ref = wavefront.render_pool(scene, cam, env, key, cfg, pixel_ids)
+    out = fused_step.render_pool_fused(scene, cam, env, key, cfg,
+                                       interpret=True)
+    for name in ("albedo", "normal", "z_depth"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
+            rtol=3e-4, atol=1e-3, err_msg=name)
+    d = np.abs(np.asarray(out.beauty) - np.asarray(ref.beauty))
+    assert d.mean() < 1e-3
+    assert (d > 3e-3).mean() < 0.005

@@ -59,6 +59,12 @@ def _build_parser() -> argparse.ArgumentParser:
     r.add_argument("--watch-interval", type=float, default=0.15,
                    help="minimum seconds between --watch updates "
                         "(reference cadence 150 ms, main.cpp:1556)")
+    r.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace of the render "
+                        "into DIR (open with TensorBoard / xprof)")
+    r.add_argument("--check-numerics", action="store_true",
+                   help="render one debug chunk under checkify NaN/Inf "
+                        "traps before the real render (slow; small frames)")
 
     b = sub.add_parser("bench", help="run the standard benchmark")
     b.add_argument("--spp", type=int, default=32)
@@ -182,7 +188,27 @@ def _cmd_render(args) -> int:
         )
         sys.stderr.flush()
 
-    sess.render_progressive(total, callback=progress)
+    if args.check_numerics:
+        # One tiny chunk under checkify float traps (SURVEY §5.2): raises
+        # with a located error on the first hidden NaN/Inf instead of
+        # scrub-and-continue.
+        import dataclasses as _dc
+        import functools as _ft
+
+        from .utils import debug as debug_mod
+
+        dbg_cfg = _dc.replace(config, samples_per_pixel=1, wavefront=False)
+        dbg = debug_mod.checked(_ft.partial(
+            integrator.render, config=dbg_cfg))
+        dbg(scene, cam, env, jax.random.PRNGKey(args.seed))
+        log.debug("checkify numerics pass clean (1 spp probe)")
+
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            sess.render_progressive(total, callback=progress)
+        log.system("Profiler trace written to %s", args.profile)
+    else:
+        sess.render_progressive(total, callback=progress)
     if not args.quiet:
         sys.stderr.write("\n")
     dt = time.perf_counter() - t0

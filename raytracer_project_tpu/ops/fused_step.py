@@ -352,18 +352,20 @@ def _trace_decode_kernel(
         ej = jnp.clip(jnp.floor(theta / PI * eh), 0.0, eh - 1.0)
         envrow = ej * ew + ei
 
-    out_ref[:] = jnp.stack(
-        [hit.astype(jnp.float32), best_t,
-         normal[0], normal[1], normal[2],
-         tangent[0], tangent[1], tangent[2],
-         bitangent[0], bitangent[1], bitangent[2],
-         front.astype(jnp.float32), mtype, param, bstr,
-         base_color[0], base_color[1], base_color[2],
-         gate_u, gate_v, jnp.where(has_bump, 1.0, 0.0),
-         jnp.where(is_image, texrow, -1.0),
-         jnp.where(has_bump, bumprow, 0.0),
-         envrow], axis=0,
-    )
+    # Row-wise stores: a 24-way stack lowers to a concatenate Mosaic
+    # rejects ("offset mismatch on non-concat dimension").
+    rows = (hit.astype(jnp.float32), best_t,
+            normal[0], normal[1], normal[2],
+            tangent[0], tangent[1], tangent[2],
+            bitangent[0], bitangent[1], bitangent[2],
+            front.astype(jnp.float32), mtype, param, bstr,
+            base_color[0], base_color[1], base_color[2],
+            gate_u, gate_v, jnp.where(has_bump, 1.0, 0.0),
+            jnp.where(is_image, texrow, -1.0),
+            jnp.where(has_bump, bumprow, 0.0),
+            envrow)
+    for k, val in enumerate(rows):
+        out_ref[k, :] = val
 
 
 def trace_decode(scene, tables: FusedTables, feats, aparams, env_hw,

@@ -578,11 +578,19 @@ BVH_MIN_PRIMS = 8192
 def intersect_dispatch(scene: Scene, tmin) -> str:
     """The single closest-hit routing decision, shared by intersect and
     intersect_soa so the chunked and pooled paths can never silently pick
-    different intersectors: "bvh" | "pallas" | "mm" | "brute"."""
+    different intersectors: "bvh" | "pallas" | "mm" | "brute".
+
+    RAYTRACER_TPU_NO_PALLAS=1 (env, read at trace time) forces the pure
+    XLA scan — needed by transforms that cannot enter Pallas kernels
+    (checkify numeric traps, utils/debug.checked)."""
+    import os
+
+    no_pallas = bool(os.environ.get("RAYTRACER_TPU_NO_PALLAS"))
     if scene.bvh is not None and scene.primitive_count >= BVH_MIN_PRIMS:
         return "bvh"
     if scene.mm is not None:
-        if jax.default_backend() == "tpu" and jnp.ndim(tmin) == 0:
+        if (jax.default_backend() == "tpu" and jnp.ndim(tmin) == 0
+                and not no_pallas):
             return "pallas"
         return "mm"
     return "brute"

@@ -111,8 +111,35 @@ def run_smoke() -> int:
         bad = np.nonzero(id_bad)[0][:8]
         return _fail(f"prim-id mismatch at hit rays {bad.tolist()}")
 
+    # --- 3. threaded BVH traversal on device (large scene) ----------------
+    # traverse.intersect_bvh never ran compiled on hardware before round 4
+    # (the showcase sits below the BVH crossover); gate it on the funnel
+    # stress world, which dispatches to the BVH path for real.
+    big = presets.bvh_stress_scene(n_spheres=9000, with_bvh=True)
+    assert (big.bvh is not None
+            and big.primitive_count >= intersect.BVH_MIN_PRIMS), (
+        "stress scene fell below the BVH crossover; smoke check 3 is void")
+    cam2 = cam_mod.make_camera(image_width=128, image_height=72, vfov=35.0,
+                               lookfrom=(5.0, 6.0, 6.0),
+                               lookat=(5.0, 4.0, -12.0))
+    o2, d2 = cam_mod.generate_rays(cam2, lanes, px, width=128)
+    from ..ops import traverse
+    hit_b = jax.jit(
+        lambda o, d: traverse.intersect_bvh(big, o, d, tmin))(o2, d2)
+    hit_o = jax.jit(
+        lambda o, d: intersect.intersect_brute_mm(big, o, d, tmin))(o2, d2)
+    hb, ho = np.asarray(hit_b.hit), np.asarray(hit_o.hit)
+    if not (hb == ho).all():
+        bad = np.nonzero(hb != ho)[0][:8]
+        return _fail(f"BVH hit-set mismatch vs brute at rays {bad.tolist()}")
+    tb = np.asarray(hit_b.t)[hb & ho]
+    to = np.asarray(hit_o.t)[hb & ho]
+    if not np.allclose(tb, to, rtol=2e-4, atol=2e-4):
+        return _fail(f"BVH t mismatch: max |dt|={np.abs(tb - to).max():.3e}")
+
     print(f"SMOKE OK: backend={jax.default_backend()} "
-          f"render mean={beauty.mean():.4f} hits={int(both.sum())}/{n}")
+          f"render mean={beauty.mean():.4f} hits={int(both.sum())}/{n} "
+          f"bvh_hits={int((hb & ho).sum())}/{n}")
     return 0
 
 

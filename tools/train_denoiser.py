@@ -120,23 +120,46 @@ def main():
     print("[train] params:", unet.param_count(params), flush=True)
 
     import optax
-    opt = optax.adam(2e-3)
+    sched = optax.cosine_decay_schedule(2e-3, steps, alpha=0.05)
+    opt = optax.adam(sched)
     opt_state = opt.init(params)
 
-    def loss_fn(params, b, a, n, t):
+    # Random-crop + flip augmentation: 64x32 patches (multiples of 4 for
+    # the two downsamples) sampled fresh each step.
+    PH, PW, PER_IMG = 32, 64, 4
+
+    def crops(key, b, a, n, t):
+        n_img = b.shape[0]
+        k1, k2, k3 = jax.random.split(key, 3)
+        img = jax.random.randint(k1, (n_img * PER_IMG,), 0, n_img)
+        oy = jax.random.randint(k2, (n_img * PER_IMG,), 0, H - PH)
+        ox = jax.random.randint(k3, (n_img * PER_IMG,), 0, W - PW)
+        flip = jax.random.bernoulli(k1, 0.5, (n_img * PER_IMG,))
+
+        def take(src):
+            def one(i, y, x, f):
+                patch = jax.lax.dynamic_slice(src[i], (y, x, 0), (PH, PW, 3))
+                return jnp.where(f, patch[:, ::-1], patch)
+            return jax.vmap(one)(img, oy, ox, flip)
+        return take(b), take(a), take(n), take(t)
+
+    def loss_fn(params, key):
+        b, a, n, t = crops(key, tb, ta, tn, tt)
         pred = jax.vmap(lambda bb, aa, nn: unet.apply(params, bb, aa, nn))(
             b, a, n)
         return jnp.mean(jnp.abs(jnp.log1p(pred) - jnp.log1p(t)))
 
     @jax.jit
-    def step(params, opt_state, b, a, n, t):
-        loss, g = jax.value_and_grad(loss_fn)(params, b, a, n, t)
+    def step(params, opt_state, key):
+        loss, g = jax.value_and_grad(loss_fn)(params, key)
         updates, opt_state = opt.update(g, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    key = jax.random.PRNGKey(7)
     for s in range(steps):
-        params, opt_state, loss = step(params, opt_state, tb, ta, tn, tt)
-        if s % 100 == 0 or s == steps - 1:
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, sub)
+        if s % 200 == 0 or s == steps - 1:
             print(f"[train] step {s}: loss {float(loss):.5f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
 

@@ -69,8 +69,8 @@ def kB(rec, state_cols):
     return fused_step.shade_advance(
         tables, iscal, fscal, bparams, rec, tex3, bump2, env3, state_cols,
         n_pixels=cfg.n_pixels, width=W, total_work=cfg.n_pixels * SPP,
-        max_depth=10, env_mode=cfg.env_mode, aux=min(cfg.aux_samples, SPP),
-        z_max=cfg.z_depth_max_dist, aovs=())
+        max_depth=10, env_mode=cfg.env_mode, spp=SPP,
+        aux=min(cfg.aux_samples, SPP), z_max=cfg.z_depth_max_dist, aovs=())
 
 
 try:

@@ -81,8 +81,11 @@ from .intersect import (
 )
 from .pallas_intersect import _coarsen_bounds, scan_tables
 
-# Lanes per kernel-A program (matmul block) and per kernel-B program.
+# Lanes per kernel-A program (matmul block), decode kernel program, and
+# kernel-B program. 1-D lane blocks must be multiples of 1024 (XLA's
+# T(1024) layout for flat f32 arrays).
 A_BLOCK = 512
+D_BLOCK = 4096
 B_BLOCK = 4096
 LANE = 128  # minor dim of the [R, 128] lane-state layout
 
@@ -126,6 +129,8 @@ class FusedTables(NamedTuple):
     atlas_flat: jax.Array   # f32[3, K*AH*AW] image texels by channel
     grad_flat: jax.Array    # f32[2, K*AH*AW] bump neighbor deltas
     env_flat: jax.Array | None  # f32[3, EH*EW] HDR texels (HDR mode only)
+    combined: jax.Array   # f32[T] all gather channels end to end
+    offsets: tuple        # static int start of each channel in `combined`
 
 
 def build_tables(scene, env, env_mode: int) -> FusedTables:
@@ -147,15 +152,26 @@ def build_tables(scene, env, env_mode: int) -> FusedTables:
     if env_mode == env_mod.HDR_MAP:
         env_flat = jnp.reshape(
             jnp.transpose(env.hdr_image, (2, 0, 1)), (3, -1))
+    atlas_flat = jnp.reshape(jnp.transpose(bank.data, (3, 0, 1, 2)), (3, -1))
+    grad_flat = jnp.reshape(jnp.transpose(bank.grad, (3, 0, 1, 2)), (2, -1))
+    # One combined table so the per-step seam is a SINGLE gather: the
+    # per-gather staging cost dominates on this backend (~2-8 ms each in
+    # loop context), so 5-8 gathers collapse into one.
+    channels = [atlas_flat[0], atlas_flat[1], atlas_flat[2],
+                grad_flat[0], grad_flat[1]]
+    if env_flat is not None:
+        channels += [env_flat[0], env_flat[1], env_flat[2]]
+    sizes = [int(c.shape[0]) for c in channels]
+    offsets = tuple(int(sum(sizes[:k])) for k in range(len(sizes)))
     return FusedTables(
         rectab=_pad_rows(_packed_all(scene), A_BLOCK),
         mattab=_pad_rows(mattab, 8),
         texmeta=_pad_rows(texmeta, 8),
-        atlas_flat=jnp.reshape(jnp.transpose(bank.data, (3, 0, 1, 2)),
-                               (3, -1)),
-        grad_flat=jnp.reshape(jnp.transpose(bank.grad, (3, 0, 1, 2)),
-                              (2, -1)),
+        atlas_flat=atlas_flat,
+        grad_flat=grad_flat,
         env_flat=env_flat,
+        combined=jnp.concatenate(channels),
+        offsets=offsets,
     )
 
 
@@ -199,26 +215,28 @@ _AP_TMIN = 0
 _AP_ROT = 1
 
 
-def _trace_decode_kernel(
-    aparams_ref, feats_ref, scoeff_ref, tcoeff_ref, bcoeff_ref,
-    sbounds_ref, tbounds_ref, bbounds_ref, rectab_ref, mattab_ref,
-    texmeta_ref,
-    out_ref,
-    *, n_spheres: int, n_tris: int, n_boxes: int, has_boxes: bool,
+def _decode_kernel(
+    aparams_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    t_ref, idx_ref, type_ref, rectab_ref, mattab_ref, texmeta_ref,
+    *out_refs,
+    n_spheres: int, n_tris: int, n_boxes: int, has_boxes: bool,
     atlas_hw: tuple, env_hw: tuple | None,
 ):
-    feats = feats_ref[:].T                    # [B, 16]
-    b = feats.shape[0]
-    tmin = jnp.full((b,), aparams_ref[0, _AP_TMIN])
-    best_t, best_idx, best_type = scan_tables(
-        feats, tmin, scoeff_ref, tcoeff_ref, bcoeff_ref,
-        sbounds_ref, tbounds_ref, bbounds_ref,
-        n_spheres=n_spheres, n_tris=n_tris, n_boxes=n_boxes,
-    )
+    """Kernel A2: hit-record decode + texture/bump/env row computation.
+
+    Runs at D_BLOCK (4096) lanes per program: the decode's elementwise
+    math and one-hot matmuls are cheap at that width (measured ~1 ms
+    per decoder), where fusing them into the 512-lane intersect kernel
+    cost a nonlinear +15 ms (VMEM/register-pressure cliff).
+    """
+    best_t = t_ref[:]
+    best_idx = idx_ref[:]
+    best_type = type_ref[:]
+    b = best_t.shape[0]
     hit = best_t < T_MAX
     t_safe = jnp.where(hit, best_t, 1.0)
-    d = (feats[:, 0], feats[:, 1], feats[:, 2])
-    o = (feats[:, 3], feats[:, 4], feats[:, 5])
+    o = (ox_ref[:], oy_ref[:], oz_ref[:])
+    d = (dx_ref[:], dy_ref[:], dz_ref[:])
 
     # --- record decode: one-hot row fetch + the shared SoA decoders ---
     is_tri = best_type == PRIM_TRIANGLE
@@ -352,8 +370,6 @@ def _trace_decode_kernel(
         ej = jnp.clip(jnp.floor(theta / PI * eh), 0.0, eh - 1.0)
         envrow = ej * ew + ei
 
-    # Row-wise stores: a 24-way stack lowers to a concatenate Mosaic
-    # rejects ("offset mismatch on non-concat dimension").
     rows = (hit.astype(jnp.float32), best_t,
             normal[0], normal[1], normal[2],
             tangent[0], tangent[1], tangent[2],
@@ -364,23 +380,27 @@ def _trace_decode_kernel(
             jnp.where(is_image, texrow, -1.0),
             jnp.where(has_bump, bumprow, 0.0),
             envrow)
-    for k, val in enumerate(rows):
-        out_ref[k, :] = val
+    for ref, val in zip(out_refs, rows):
+        ref[:] = val
 
 
 def trace_decode(scene, tables: FusedTables, feats, aparams, env_hw,
                  *, interpret=False):
-    """Kernel-A wrapper: feats f32[16, P], aparams f32[1, 8] ->
-    one [_RO_ROWS, P] matrix of per-lane record/texture-row vectors."""
-    mm = scene.mm
+    """Kernels A1+A2: intersect (the proven chunk-cull kernel) then the
+    decode kernel at D_BLOCK lanes. Returns a tuple of _RO_ROWS flat [P]
+    per-lane vectors in _RO_* order."""
+    from . import pallas_intersect
+
     p_lanes = feats.shape[1]
-    grid = (p_lanes // A_BLOCK,)
-    sbounds = _coarsen_bounds(mm.sphere_bounds)
-    tbounds = _coarsen_bounds(mm.tri_bounds)
-    bbounds = _coarsen_bounds(mm.box_bounds)
+    # A1: closest hit (o/d recovered from the feature rows for A2).
+    hit = pallas_intersect.intersect_brute_pallas_feats(
+        scene, feats, T_MIN, interpret=interpret)
+    o = (feats[3], feats[4], feats[5])
+    d = (feats[0], feats[1], feats[2])
+
     ah, aw = scene.textures.data.shape[1], scene.textures.data.shape[2]
     kernel = functools.partial(
-        _trace_decode_kernel,
+        _decode_kernel,
         n_spheres=scene.spheres.count, n_tris=scene.triangles.count,
         n_boxes=scene.boxes.count if scene.boxes is not None else 0,
         has_boxes=scene.boxes is not None,
@@ -388,37 +408,26 @@ def trace_decode(scene, tables: FusedTables, feats, aparams, env_hw,
     )
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                       memory_space=pltpu.VMEM)
+    lane = pl.BlockSpec((D_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(p_lanes // D_BLOCK,),
         in_specs=[
             pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((16, A_BLOCK), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            full(mm.sphere_coeff.shape),
-            full(mm.tri_coeff.shape),
-            full(mm.box_coeff.shape),
-            pl.BlockSpec(sbounds.shape, lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(tbounds.shape, lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(bbounds.shape, lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
+        ] + [lane] * 9 + [
             full(tables.rectab.shape),
             full(tables.mattab.shape),
             full(tables.texmeta.shape),
         ],
-        out_specs=pl.BlockSpec((_RO_ROWS, A_BLOCK), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((_RO_ROWS, p_lanes), jnp.float32),
-        # The one-hot decode block + intersect temporaries exceed the
-        # default 16 MB scoped-vmem budget; v5e has 128 MB of VMEM.
+        out_specs=tuple([lane] * _RO_ROWS),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((p_lanes,), jnp.float32)
+            for _ in range(_RO_ROWS)
+        ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(aparams, feats,
-      mm.sphere_coeff, mm.tri_coeff, mm.box_coeff,
-      sbounds, tbounds, bbounds,
+    )(aparams, *o, *d, hit.t, hit.prim_idx, hit.prim_type,
       tables.rectab, tables.mattab, tables.texmeta)
     return out
 
@@ -554,13 +563,15 @@ def _shade_advance_kernel(
 ):
     # Positional ref unpacking (pallas passes refs flat; the AOV output
     # count varies with the static config).
-    (iscal_ref, fscal_ref, bparams_ref, rec_ref,
-     texr_ref, texg_ref, texb_ref, gu_ref, gv_ref,
-     envr_ref, envg_ref, envb_ref) = refs[:12]
+    iscal_ref, fscal_ref, bparams_ref = refs[:3]
+    rec_refs = refs[3:3 + _RO_ROWS]
+    (texr_ref, texg_ref, texb_ref, gu_ref, gv_ref,
+     envr_ref, envg_ref, envb_ref) = refs[3 + _RO_ROWS:11 + _RO_ROWS]
     (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
      thx_ref, thy_ref, thz_ref, rdx_ref, rdy_ref, rdz_ref,
-     live_ref, bounce_ref, samp_ref, li_ref) = refs[12:28]
-    out = refs[28:]
+     live_ref, bounce_ref, samp_ref, li_ref) = refs[11 + _RO_ROWS:
+                                                    27 + _RO_ROWS]
+    out = refs[27 + _RO_ROWS:]
     (n_ox_ref, n_oy_ref, n_oz_ref, n_dx_ref, n_dy_ref, n_dz_ref,
      n_thx_ref, n_thy_ref, n_thz_ref, n_rdx_ref, n_rdy_ref, n_rdz_ref,
      n_live_ref, n_bounce_ref, n_samp_ref, n_li_ref) = out[:16]
@@ -574,7 +585,7 @@ def _shade_advance_kernel(
 
     prog = pl.program_id(0)
     nprog = pl.num_programs(0)
-    b = rec_ref.shape[1]
+    b = rec_refs[0].shape[0]
     bp = tuple(bparams_ref[0, k] for k in range(_BP_COLS))
 
     @pl.when(prog == 0)
@@ -588,7 +599,7 @@ def _shade_advance_kernel(
     seed = iscal_ref[0, 0].astype(jnp.uint32)
     sample_offset = iscal_ref[0, 2]
 
-    rec = rec_ref[:]
+    rec = tuple(r[:] for r in rec_refs)
     hit = rec[_RO_HIT] > 0.5
     t_hit = rec[_RO_T]
     normal = (rec[_RO_N], rec[_RO_N + 1], rec[_RO_N + 2])
@@ -819,13 +830,14 @@ def shade_advance(tables: FusedTables, iscal, fscal, bparams, rec,
                   aovs: tuple, interpret=False):
     """Kernel-B wrapper.
 
-    rec: the [_RO_ROWS, P] kernel-A output. state_cols: 16 flat [P]
-    arrays in kernel order (o3, d3, thr3, rad3 f32; live, bounce, samp,
-    li i32). Returns (new_state_cols (16), contrib r/g/b [P], tgt [P]
-    i32, per-AOV channels + tgt_aux when `aovs` is nonempty, next_work
-    [1,1] i32, segments [1,1] f32, live_count [1,1] i32).
+    rec: tuple of _RO_ROWS flat [P] vectors (trace_decode output).
+    state_cols: 16 flat [P] arrays in kernel order (o3, d3, thr3, rad3
+    f32; live, bounce, samp, li i32). Returns (new_state_cols (16),
+    contrib r/g/b [P], tgt [P] i32, per-AOV channels + tgt_aux when
+    `aovs` is nonempty, next_work [1,1] i32, segments [1,1] f32,
+    live_count [1,1] i32).
     """
-    p_lanes = rec.shape[1]
+    p_lanes = rec[0].shape[0]
     grid = (p_lanes // B_BLOCK,)
     lane = pl.BlockSpec((B_BLOCK,), lambda i: (i,),
                         memory_space=pltpu.VMEM)
@@ -845,8 +857,7 @@ def shade_advance(tables: FusedTables, iscal, fscal, bparams, rec,
         grid=grid,
         in_specs=[
             scal((1, 4)), scal((1, 2)), scal((1, _BP_COLS)),
-            pl.BlockSpec((_RO_ROWS, B_BLOCK), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
+        ] + [lane] * _RO_ROWS + [
             lane, lane, lane,            # tex r/g/b
             lane, lane,                  # bump gu/gv
             lane, lane, lane,            # env r/g/b
@@ -867,7 +878,7 @@ def shade_advance(tables: FusedTables, iscal, fscal, bparams, rec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(iscal, fscal, bparams, rec, *tex3, *bump2, *env3, *state_cols)
+    )(iscal, fscal, bparams, *rec, *tex3, *bump2, *env3, *state_cols)
     return out
 
 
@@ -978,19 +989,28 @@ def make_pool_fused(scene, cam, env, key, config, sample_offset=0,
         return s.live_count[0, 0] > 0
 
     def body(s: FusedPoolState):
-        # Kernel A: trace + decode.
+        # Kernels A1 (intersect) + A2 (decode).
         feats = intersect.ray_features_soa(s.o, s.d)
         rec = trace_decode(
             scene, tables, feats, aparams, env_hw, interpret=interpret)
 
-        # XLA seam: the per-lane gathers Pallas cannot vectorize.
+        # XLA seam: ONE batched gather for every texel channel (per-gather
+        # staging dominates on this backend; 5-8 separate gathers cost
+        # ~24 ms/step where one wide gather costs one staging).
         trow = jnp.clip(rec[_RO_TEXROW], 0.0, None).astype(jnp.int32)
         brow = jnp.clip(rec[_RO_BUMPROW], 0.0, None).astype(jnp.int32)
-        tex3 = tuple(tables.atlas_flat[k][trow] for k in range(3))
-        bump2 = tuple(tables.grad_flat[k][brow] for k in range(2))
+        off = tables.offsets
+        parts = [trow + off[0], trow + off[1], trow + off[2],
+                 brow + off[3], brow + off[4]]
         if env_hw is not None:
             erow = rec[_RO_ENVROW].astype(jnp.int32)
-            env3 = tuple(tables.env_flat[k][erow] for k in range(3))
+            parts += [erow + off[5], erow + off[6], erow + off[7]]
+        allidx = jnp.concatenate(parts)
+        allvals = tables.combined[allidx]
+        tex3 = tuple(allvals[k * p:(k + 1) * p] for k in range(3))
+        bump2 = tuple(allvals[(3 + k) * p:(4 + k) * p] for k in range(2))
+        if env_hw is not None:
+            env3 = tuple(allvals[(5 + k) * p:(6 + k) * p] for k in range(3))
         else:
             zc = jnp.zeros((p,), jnp.float32)
             env3 = (zc, zc, zc)

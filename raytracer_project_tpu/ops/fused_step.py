@@ -901,7 +901,9 @@ class FusedPoolState(NamedTuple):
     bounce: jax.Array      # i32 [P]
     samp: jax.Array        # i32 [P]
     li: jax.Array          # i32 [P]
-    acc: dict              # {"beauty.x/y/z": f32 [n+1]}
+    acc: jax.Array         # f32 [n_channels*(n+1)] flat accumulator
+                           # (channel c occupies [c*(n+1), (c+1)*(n+1));
+                           # order: beauty xyz then 3 per enabled AOV)
     segments: jax.Array    # f32 [1, 1]
     steps: jax.Array       # i32 []
 
@@ -979,8 +981,7 @@ def make_pool_fused(scene, cam, env, key, config, sample_offset=0,
         bounce=jnp.zeros((p,), jnp.int32),
         samp=jnp.asarray(samp0, jnp.int32),
         li=jnp.asarray(li0, jnp.int32),
-        acc={f"{f}.{c}": jnp.zeros((n + 1,), jnp.float32)
-             for f in ("beauty",) + aovs for c in "xyz"},
+        acc=jnp.zeros(((3 + 3 * len(aovs)) * (n + 1),), jnp.float32),
         segments=jnp.zeros((1, 1), jnp.float32),
         steps=jnp.zeros((), jnp.int32),
     )
@@ -1041,19 +1042,24 @@ def make_pool_fused(scene, cam, env, key, config, sample_offset=0,
         tgt_aux = out[20 + na] if aovs else None
         nw, seg, lc = out[-3:]
 
-        # XLA seam: masked scatter-adds (finished-path radiance + the
-        # bounce-0 AOV contributions).
-        acc = dict(s.acc)
-        for name, val in (("beauty.x", cr), ("beauty.y", cg),
-                          ("beauty.z", cb)):
-            acc[name] = acc[name].at[tgt].add(val)
+        # XLA seam: ONE combined scatter-add for every accumulator
+        # channel (radiance + AOVs) — per-op staging dominates scatter
+        # cost on this backend (~2.15 ms per scatter in loop context),
+        # so 3-12 scatters collapse into one wide one.
+        stride = n + 1
+        idx_parts = [tgt, tgt + stride, tgt + 2 * stride]
+        val_parts = [cr, cg, cb]
         ai = 0
+        ch = 3
         for f in aovs:
             chans = 1 if f == "z_depth" else 3
-            for ci, c in enumerate("xyz"):
-                v = aov_vals[ai + min(ci, chans - 1)]
-                acc[f"{f}.{c}"] = acc[f"{f}.{c}"].at[tgt_aux].add(v)
+            for ci in range(3):
+                idx_parts.append(tgt_aux + (ch + ci) * stride)
+                val_parts.append(aov_vals[ai + min(ci, chans - 1)])
             ai += chans
+            ch += 3
+        acc = s.acc.at[jnp.concatenate(idx_parts)].add(
+            jnp.concatenate(val_parts))
 
         return FusedPoolState(
             next_work=nw, live_count=lc,
@@ -1077,12 +1083,24 @@ def render_pool_fused(scene, cam, env, key, config, sample_offset=0,
         scene, cam, env, key, config, sample_offset, pool_lanes,
         interpret=interpret,
     )
+    aovs = tuple(
+        name for name, on in (("albedo", config.use_albedo),
+                              ("normal", config.use_normal),
+                              ("z_depth", config.use_z_depth)) if on
+    )
     final = jax.lax.while_loop(cond, body, state0)
     zeros3 = jnp.zeros((n, 3), jnp.float32)
-    get = lambda f: (
-        jnp.stack([final.acc[f"{f}.{c}"][:n] for c in "xyz"], axis=-1)
-        if f"{f}.x" in final.acc else zeros3
-    )
+    stride = n + 1
+    order = ("beauty",) + aovs
+
+    def get(f):
+        if f not in order:
+            return zeros3
+        c0 = 3 * order.index(f)
+        return jnp.stack(
+            [final.acc[(c0 + k) * stride:(c0 + k) * stride + n]
+             for k in range(3)], axis=-1)
+
     out = SampleBuffers(beauty=get("beauty"), albedo=get("albedo"),
                         normal=get("normal"), z_depth=get("z_depth"),
                         reflection=zeros3, refraction=zeros3)

@@ -239,11 +239,15 @@ class RenderSession:
             and current_pass in (post_mod.PASS_REFLECTIONS,
                                  post_mod.PASS_REFRACTIONS)
         ):
+            from ..models import denoiser_unet
             from ..ops import denoise as denoise_mod
 
             b = self.buffers()
-            buf = denoise_mod.atrous_denoise(
-                b[PASS_BUFFERS[current_pass]], b["albedo"], b["normal"])
+            # Learned model when the shipped weights exist (OIDN role,
+            # camera.hpp:581-699); classical a-trous otherwise.
+            buf = denoise_mod.denoise(
+                b[PASS_BUFFERS[current_pass]], b["albedo"], b["normal"],
+                model=denoiser_unet.load_default())
         params = self.post_params._replace(exposure=self.resolved_exposure())
         img = post_mod.update_post_processing(buf, params, self.post_config,
                                               current_pass)

@@ -35,10 +35,11 @@ Reference parity: the fused step covers the iterative ray_color loop
 (/root/reference/camera.hpp:928-986) with material.hpp scatter semantics
 and camera.hpp:784-794 ray generation, at reference constants.
 
-v1 scope (falls back to ops/wavefront.make_pool otherwise): beauty-only
-(no AOV/specular split buffers), no participating media, full-frame
-renders (identity pixel ids), brute-force-scan scenes (below the BVH
-crossover), all three environment modes.
+Scope (falls back to ops/wavefront.make_pool otherwise): full-frame
+renders (identity pixel ids) of brute-force-scan scenes (below the BVH
+crossover) without participating media — beauty, the albedo/normal/
+z-depth AOVs, the reflection/refraction split passes, and all three
+environment modes are covered.
 """
 
 from __future__ import annotations
@@ -182,8 +183,7 @@ def fused_supported(scene, config, identity_pixels: bool) -> bool:
         scene.mm is not None
         and scene.volumes is None
         and identity_pixels
-        and not (config.use_reflection or config.use_refraction)
-        and config.n_pixels * config.samples_per_pixel < (1 << 24)
+        and config.n_pixels * config.samples_per_pixel * 2 < (1 << 24)
         and n_tex < (1 << 24)
         and not (scene.bvh is not None
                  and scene.primitive_count >= intersect.BVH_MIN_PRIMS)
@@ -560,25 +560,39 @@ def _shade_advance_kernel(
     *refs,
     n_pixels: int, width: int, total_work: int, max_depth: int,
     env_mode: int, spp: int, aux: int, z_max: float, aovs: tuple,
+    want_spec: bool, use_reflection: bool, use_refraction: bool,
+    n_beauty: int,
 ):
-    # Positional ref unpacking (pallas passes refs flat; the AOV output
-    # count varies with the static config).
+    # Positional ref unpacking (pallas passes refs flat; the AOV/spec
+    # ref counts vary with the static config).
     iscal_ref, fscal_ref, bparams_ref = refs[:3]
     rec_refs = refs[3:3 + _RO_ROWS]
     (texr_ref, texg_ref, texb_ref, gu_ref, gv_ref,
      envr_ref, envg_ref, envb_ref) = refs[3 + _RO_ROWS:11 + _RO_ROWS]
+    k = 11 + _RO_ROWS
     (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
      thx_ref, thy_ref, thz_ref, rdx_ref, rdy_ref, rdz_ref,
-     live_ref, bounce_ref, samp_ref, li_ref) = refs[11 + _RO_ROWS:
-                                                    27 + _RO_ROWS]
-    out = refs[27 + _RO_ROWS:]
+     live_ref, bounce_ref, samp_ref, li_ref) = refs[k:k + 16]
+    k += 16
+    if want_spec:
+        (spec_ref, refl_ref, refr_ref,
+         a0x_ref, a0y_ref, a0z_ref) = refs[k:k + 6]
+        k += 6
+    out = refs[k:]
     (n_ox_ref, n_oy_ref, n_oz_ref, n_dx_ref, n_dy_ref, n_dz_ref,
      n_thx_ref, n_thy_ref, n_thz_ref, n_rdx_ref, n_rdy_ref, n_rdz_ref,
      n_live_ref, n_bounce_ref, n_samp_ref, n_li_ref) = out[:16]
     cr_ref, cg_ref, cb_ref, tgt_ref = out[16:20]
+    ko = 20
+    if want_spec:
+        (n_spec_ref, n_refl_ref, n_refr_ref,
+         n_a0x_ref, n_a0y_ref, n_a0z_ref,
+         srx_ref, sry_ref, srz_ref, tgt_refl_ref,
+         sfx_ref, sfy_ref, sfz_ref, tgt_refr_ref) = out[ko:ko + 14]
+        ko += 14
     na = _n_aov(aovs)
-    aov_refs = out[20:20 + na]
-    tgtaux_ref = out[20 + na] if aovs else None
+    aov_refs = out[ko:ko + na]
+    tgtaux_ref = out[ko + na] if aovs else None
     nw_ref, seg_ref, lc_ref = out[-6:-3]
     base_sm, seg_sm, lc_sm = out[-3:]
     from ..core import soa
@@ -629,12 +643,21 @@ def _shade_advance_kernel(
     bounce = bounce_ref[:]
     samp = samp_ref[:]
     li = li_ref[:]
+    if want_spec:
+        is_spec = spec_ref[:] > 0
+        to_refl = refl_ref[:] > 0
+        to_refr = refr_ref[:] > 0
+        attn0 = (a0x_ref[:], a0y_ref[:], a0z_ref[:])
+        spec_bit = spec_ref[:].astype(jnp.uint32)
+    else:
+        is_spec = jnp.zeros_like(live)
+        spec_bit = jnp.uint32(0)
     # Hit point recomputed exactly as the decoders' soa.axpy(t, d, o).
     t_safe = jnp.where(hit, t_hit, 1.0)
     hp = tuple(t_safe * d[k] + o[k] for k in range(3))
 
     lr = rng.LaneRng(seed, li.astype(jnp.uint32), samp.astype(jnp.uint32),
-                     bounce.astype(jnp.uint32) << jnp.uint32(1))
+                     (bounce.astype(jnp.uint32) << jnp.uint32(1)) | spec_bit)
 
     # --- background (miss) color ---
     ud = soa.normalize(d)
@@ -705,13 +728,18 @@ def _shade_advance_kernel(
     emitted = soa.where(is_emit, tex3, (zero, zero, zero))
 
     # --- radiance / path update (wavefront.body order) ---
+    # Spec paths skip first-hit emission/attenuation: their trace starts
+    # AFTER the first scatter with throughput 1 (camera.hpp:494-498).
+    at0 = bounce == 0
+    emit_ok = (~(at0 & is_spec)) if want_spec else jnp.ones_like(live)
     miss = live & ~hit
     rad = tuple(rad[k] + jnp.where(miss, thr[k] * bg[k], 0.0)
                 for k in range(3))
     active = live & hit
-    rad = tuple(rad[k] + jnp.where(active, thr[k] * emitted[k], 0.0)
+    emit_lanes = active & emit_ok
+    rad = tuple(rad[k] + jnp.where(emit_lanes, thr[k] * emitted[k], 0.0)
                 for k in range(3))
-    gainm = active & scattered
+    gainm = active & scattered & emit_ok
     thr = soa.where(gainm, soa.mul(thr, attenuation), thr)
     active = active & scattered
 
@@ -725,10 +753,30 @@ def _shade_advance_kernel(
     thr = soa.where(late & active, soa.scale(thr, 1.0 / p_rr), thr)
     active = active & (bounce + 1 < max_depth)
 
+    # --- spec-pass routing flags, decided at the first hit
+    # (camera.hpp:492-517) ---
+    if want_spec:
+        spec0 = at0 & is_spec & live
+        unit_d0 = soa.normalize(d)
+        refl_dir = soa.reflect(unit_d0, soa.normalize(normal))
+        is_specular = soa.dot(soa.normalize(sc_dir), refl_dir) > 0.9
+        entering = soa.dot(sc_dir, normal) < 0.0
+        spec_live = hit & scattered
+        to_refl = jnp.where(spec0, spec_live & is_specular & use_reflection,
+                            to_refl)
+        to_refr = jnp.where(
+            spec0, spec_live & ~is_specular & entering & use_refraction,
+            to_refr)
+        attn0 = soa.where(spec0, attenuation, attn0)
+        # Spec paths routed to neither buffer are dead work: kill now.
+        active = active & ~(spec0 & ~(to_refl | to_refr))
+
     # --- AOV contributions from camera segments (wavefront.body parity:
     # bounce-0 beauty lanes with samp < aux; camera.hpp:463-487) ---
     if aovs:
         is_aux = live & (bounce == 0) & (samp < aux)
+        if want_spec:
+            is_aux = is_aux & ~is_spec
         tgtaux_ref[:] = jnp.where(is_aux, li, n_pixels)
         ai = 0
         if "albedo" in aovs:
@@ -758,8 +806,23 @@ def _shade_advance_kernel(
 
     # --- finished paths -> contribution outputs ---
     done = live & ~active
-    tgt = jnp.where(done, li, n_pixels)
-    cr, cg, cb = (jnp.where(done, rad[k], 0.0) for k in range(3))
+    done_beauty = done & ~is_spec if want_spec else done
+    tgt = jnp.where(done_beauty, li, n_pixels)
+    cr, cg, cb = (jnp.where(done_beauty, rad[k], 0.0) for k in range(3))
+    if want_spec:
+        # Firefly clamp on the continuation color, then modulate by the
+        # stored first-hit attenuation (camera.hpp:499-509).
+        luma = 0.2126 * soa.length(rad)
+        fscale = jnp.where(luma > 2.0, 2.0 / jnp.maximum(luma, 1e-12), 1.0)
+        contrib = tuple(attn0[k] * rad[k] * fscale for k in range(3))
+        d_refl = done & to_refl
+        d_refr = done & to_refr
+        tgt_refl_ref[:] = jnp.where(d_refl, li, n_pixels)
+        tgt_refr_ref[:] = jnp.where(d_refr, li, n_pixels)
+        for ref, k in ((srx_ref, 0), (sry_ref, 1), (srz_ref, 2)):
+            ref[:] = jnp.where(d_refl, contrib[k], 0.0)
+        for ref, k in ((sfx_ref, 0), (sfy_ref, 1), (sfz_ref, 2)):
+            ref[:] = jnp.where(d_refr, contrib[k], 0.0)
 
     # --- respawn: global work counter rides SMEM across the grid ---
     free = ~live | done
@@ -775,6 +838,9 @@ def _shade_advance_kernel(
     base_sm[0] = base + block_free
 
     w = jnp.clip(new_w, 0, total_work - 1)
+    if want_spec:
+        new_spec = w >= n_beauty
+        w = jnp.where(new_spec, w - n_beauty, w)
     wf = w.astype(jnp.float32)
     sr = jnp.floor((wf + 0.5) * (1.0 / n_pixels))
     sli = wf - sr * n_pixels
@@ -783,6 +849,8 @@ def _shade_advance_kernel(
     sli = wf - sr * n_pixels
     new_li = sli.astype(jnp.int32)
     new_samp = sample_offset + sr.astype(jnp.int32)
+    # Camera draws always use ctx 0: a spec path re-traces the SAME
+    # camera ray as its beauty path (camera.hpp:455,492).
     so, sd = _raygen(bp, seed, new_li, new_samp, width)
 
     sel = lambda fresh, old: jnp.where(can_spawn, fresh, old)
@@ -808,6 +876,15 @@ def _shade_advance_kernel(
     n_bounce_ref[:] = jnp.where(can_spawn, 0, bounce + 1)
     n_samp_ref[:] = sel(new_samp, samp)
     n_li_ref[:] = sel(new_li, li)
+    if want_spec:
+        fz = jnp.zeros((b,), jnp.int32)
+        n_spec_ref[:] = jnp.where(can_spawn, new_spec.astype(jnp.int32),
+                                  is_spec.astype(jnp.int32))
+        n_refl_ref[:] = jnp.where(can_spawn, fz, to_refl.astype(jnp.int32))
+        n_refr_ref[:] = jnp.where(can_spawn, fz, to_refr.astype(jnp.int32))
+        n_a0x_ref[:] = sel(one, attn0[0])
+        n_a0y_ref[:] = sel(one, attn0[1])
+        n_a0z_ref[:] = sel(one, attn0[2])
     cr_ref[:] = cr
     cg_ref[:] = cg
     cb_ref[:] = cb
@@ -827,7 +904,9 @@ def shade_advance(tables: FusedTables, iscal, fscal, bparams, rec,
                   tex3, bump2, env3, state_cols, *,
                   n_pixels: int, width: int, total_work: int, max_depth: int,
                   env_mode: int, spp: int, aux: int, z_max: float,
-                  aovs: tuple, interpret=False):
+                  aovs: tuple, want_spec: bool = False,
+                  use_reflection: bool = False, use_refraction: bool = False,
+                  n_beauty: int = 0, interpret=False):
     """Kernel-B wrapper.
 
     rec: tuple of _RO_ROWS flat [P] vectors (trace_decode output).
@@ -846,12 +925,16 @@ def shade_advance(tables: FusedTables, iscal, fscal, bparams, rec,
     kernel = functools.partial(
         _shade_advance_kernel, n_pixels=n_pixels, width=width,
         total_work=total_work, max_depth=max_depth, env_mode=env_mode,
-        spp=spp, aux=aux, z_max=z_max, aovs=aovs,
+        spp=spp, aux=aux, z_max=z_max, aovs=aovs, want_spec=want_spec,
+        use_reflection=use_reflection, use_refraction=use_refraction,
+        n_beauty=n_beauty,
     )
     lane_f = jax.ShapeDtypeStruct((p_lanes,), jnp.float32)
     lane_i = jax.ShapeDtypeStruct((p_lanes,), jnp.int32)
     na = _n_aov(aovs)
-    n_lane_outs = 20 + na + (1 if aovs else 0)
+    n_state = 16 + (6 if want_spec else 0)
+    spec_outs = 14 if want_spec else 0
+    n_lane_outs = 20 + spec_outs + na + (1 if aovs else 0)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -861,10 +944,14 @@ def shade_advance(tables: FusedTables, iscal, fscal, bparams, rec,
             lane, lane, lane,            # tex r/g/b
             lane, lane,                  # bump gu/gv
             lane, lane, lane,            # env r/g/b
-        ] + [lane] * 16,                 # state
+        ] + [lane] * n_state,            # state (+ spec routing)
         out_specs=tuple([lane] * n_lane_outs + [scal((1, 1))] * 3),
         out_shape=tuple(
             [lane_f] * 12 + [lane_i] * 4 + [lane_f] * 3 + [lane_i]
+            + ([lane_i] * 3 + [lane_f] * 3          # spec state
+               + [lane_f] * 3 + [lane_i]            # reflection contribs
+               + [lane_f] * 3 + [lane_i]            # refraction contribs
+               if want_spec else [])
             + [lane_f] * na + ([lane_i] if aovs else [])
             + [jax.ShapeDtypeStruct((1, 1), jnp.int32),
                jax.ShapeDtypeStruct((1, 1), jnp.float32),
@@ -901,6 +988,9 @@ class FusedPoolState(NamedTuple):
     bounce: jax.Array      # i32 [P]
     samp: jax.Array        # i32 [P]
     li: jax.Array          # i32 [P]
+    # Spec split-pass routing (empty tuples when disabled).
+    spec: tuple            # () or (is_spec, to_refl, to_refr) i32 [P]
+    attn0: tuple           # () or 3 x f32 [P]
     acc: jax.Array         # f32 [n_channels*(n+1)] flat accumulator
                            # (channel c occupies [c*(n+1), (c+1)*(n+1));
                            # order: beauty xyz then 3 per enabled AOV)
@@ -919,7 +1009,9 @@ def make_pool_fused(scene, cam, env, key, config, sample_offset=0,
 
     n = config.n_pixels
     spp = config.samples_per_pixel
-    total_work = n * spp
+    want_spec = config.use_reflection or config.use_refraction
+    n_beauty = n * spp
+    total_work = n_beauty * (2 if want_spec else 1)
     p = pool_lanes or min(total_work, 262_144)
     p = max(B_BLOCK, -(-p // B_BLOCK) * B_BLOCK)
     seed = rng.seed_from_key(key)
@@ -960,6 +1052,8 @@ def make_pool_fused(scene, cam, env, key, config, sample_offset=0,
     # --- initial fill (same decode as kernel B's respawn) ---
     w0 = jnp.arange(p, dtype=jnp.int32)
     wc = jnp.minimum(w0, total_work - 1)
+    spec0 = wc >= n_beauty
+    wc = jnp.where(spec0, wc - n_beauty, wc)
     samp_rel = wc // n
     li0 = wc - samp_rel * n
     samp0 = sample_offset + samp_rel
@@ -981,7 +1075,12 @@ def make_pool_fused(scene, cam, env, key, config, sample_offset=0,
         bounce=jnp.zeros((p,), jnp.int32),
         samp=jnp.asarray(samp0, jnp.int32),
         li=jnp.asarray(li0, jnp.int32),
-        acc=jnp.zeros(((3 + 3 * len(aovs)) * (n + 1),), jnp.float32),
+        spec=((spec0.astype(jnp.int32), jnp.zeros((p,), jnp.int32),
+               jnp.zeros((p,), jnp.int32)) if want_spec else ()),
+        attn0=((ones, ones, ones) if want_spec else ()),
+        acc=jnp.zeros(
+            ((3 + 3 * len(aovs) + (6 if want_spec else 0)) * (n + 1),),
+            jnp.float32),
         segments=jnp.zeros((1, 1), jnp.float32),
         steps=jnp.zeros((), jnp.int32),
     )
@@ -1026,20 +1125,28 @@ def make_pool_fused(scene, cam, env, key, config, sample_offset=0,
         ]).reshape(1, 2)
 
         state_cols = (*s.o, *s.d, *s.thr, *s.rad,
-                      s.live, s.bounce, s.samp, s.li)
+                      s.live, s.bounce, s.samp, s.li, *s.spec, *s.attn0)
         out = shade_advance(
             tables, iscal, fscal, bparams, rec, tex3, bump2, env3,
             state_cols, n_pixels=n, width=config.width,
             total_work=total_work, max_depth=config.max_depth,
             env_mode=env_mode, spp=spp, aux=aux, z_max=config.z_depth_max_dist,
-            aovs=aovs, interpret=interpret,
+            aovs=aovs, want_spec=want_spec,
+            use_reflection=config.use_reflection,
+            use_refraction=config.use_refraction, n_beauty=n_beauty,
+            interpret=interpret,
         )
         (n_ox, n_oy, n_oz, n_dx, n_dy, n_dz, n_thx, n_thy, n_thz,
          n_rdx, n_rdy, n_rdz, n_live, n_bounce, n_samp, n_li,
          cr, cg, cb, tgt) = out[:20]
+        ko = 20
+        if want_spec:
+            (n_sp, n_rl, n_rr, n_ax, n_ay, n_az,
+             srx, sry, srz, tgt_refl, sfx, sfy, sfz, tgt_refr) = out[ko:ko + 14]
+            ko += 14
         na = _n_aov(aovs)
-        aov_vals = out[20:20 + na]
-        tgt_aux = out[20 + na] if aovs else None
+        aov_vals = out[ko:ko + na]
+        tgt_aux = out[ko + na] if aovs else None
         nw, seg, lc = out[-3:]
 
         # XLA seam: ONE combined scatter-add for every accumulator
@@ -1058,6 +1165,15 @@ def make_pool_fused(scene, cam, env, key, config, sample_offset=0,
                 val_parts.append(aov_vals[ai + min(ci, chans - 1)])
             ai += chans
             ch += 3
+        if want_spec:
+            for ci, v in enumerate((srx, sry, srz)):
+                idx_parts.append(tgt_refl + (ch + ci) * stride)
+                val_parts.append(v)
+            ch += 3
+            for ci, v in enumerate((sfx, sfy, sfz)):
+                idx_parts.append(tgt_refr + (ch + ci) * stride)
+                val_parts.append(v)
+            ch += 3
         acc = s.acc.at[jnp.concatenate(idx_parts)].add(
             jnp.concatenate(val_parts))
 
@@ -1066,6 +1182,8 @@ def make_pool_fused(scene, cam, env, key, config, sample_offset=0,
             o=(n_ox, n_oy, n_oz), d=(n_dx, n_dy, n_dz),
             thr=(n_thx, n_thy, n_thz), rad=(n_rdx, n_rdy, n_rdz),
             live=n_live, bounce=n_bounce, samp=n_samp, li=n_li,
+            spec=((n_sp, n_rl, n_rr) if want_spec else ()),
+            attn0=((n_ax, n_ay, n_az) if want_spec else ()),
             acc=acc, segments=seg, steps=s.steps + 1,
         )
 
@@ -1088,10 +1206,13 @@ def render_pool_fused(scene, cam, env, key, config, sample_offset=0,
                               ("normal", config.use_normal),
                               ("z_depth", config.use_z_depth)) if on
     )
+    want_spec = config.use_reflection or config.use_refraction
     final = jax.lax.while_loop(cond, body, state0)
     zeros3 = jnp.zeros((n, 3), jnp.float32)
     stride = n + 1
     order = ("beauty",) + aovs
+    if want_spec:
+        order = order + ("reflection", "refraction")
 
     def get(f):
         if f not in order:
@@ -1103,7 +1224,8 @@ def render_pool_fused(scene, cam, env, key, config, sample_offset=0,
 
     out = SampleBuffers(beauty=get("beauty"), albedo=get("albedo"),
                         normal=get("normal"), z_depth=get("z_depth"),
-                        reflection=zeros3, refraction=zeros3)
+                        reflection=get("reflection"),
+                        refraction=get("refraction"))
     if with_stats:
         return out, {"segments": final.segments[0, 0],
                      "steps": final.steps}

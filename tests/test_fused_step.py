@@ -112,7 +112,14 @@ def test_fused_supported_gates(scene):
         width=48, height=27, samples_per_pixel=4, max_depth=6,
         env_mode=env_mod.PHYSICAL_SUN, use_albedo=False, use_normal=False,
         use_z_depth=False, use_reflection=True, wavefront=True)
-    assert not fused_step.fused_supported(scene, cfg_spec, True)
+    assert fused_step.fused_supported(scene, cfg_spec, True)
+    # Participating media still fall back to the unfused pool.
+    bf = SceneBuilder()
+    m = bf.materials.lambertian("g", (0.5, 0.5, 0.5))
+    bf.geometry.add_sphere((0.0, 0.0, 0.0), 1.0, m)
+    bf.add_fog_sphere((0, 0, 0), 5.0, 0.1, (0.8, 0.8, 0.8))
+    fog_scene = bf.build(with_bvh=False)
+    assert not fused_step.fused_supported(fog_scene, cfg, True)
 
 
 def test_fused_aov_buffers(scene, key):
@@ -140,3 +147,25 @@ def test_fused_aov_buffers(scene, key):
     d = np.abs(np.asarray(out.beauty) - np.asarray(ref.beauty))
     assert d.mean() < 1e-3
     assert (d > 3e-3).mean() < 0.005
+
+
+def test_fused_spec_passes(scene, key):
+    """Reflection/refraction split passes through the fused step match the
+    unfused pool (same routing flags, firefly clamp, attn0 modulation)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(_cfg(env_mod.PHYSICAL_SUN),
+                              use_reflection=True, use_refraction=True)
+    cam = _cam(cfg.width, cfg.height)
+    env = env_mod.make_environment(sun_direction=(0.3, 0.8, 0.2),
+                                   sun_intensity=4.0)
+    pixel_ids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
+    assert fused_step.fused_supported(scene, cfg, True)
+    ref = wavefront.render_pool(scene, cam, env, key, cfg, pixel_ids)
+    out = fused_step.render_pool_fused(scene, cam, env, key, cfg,
+                                       interpret=True)
+    for name in ("beauty", "reflection", "refraction"):
+        d = np.abs(np.asarray(getattr(out, name))
+                   - np.asarray(getattr(ref, name)))
+        assert d.mean() < 1e-3, f"{name} mean {d.mean()}"
+        assert (d > 3e-3).mean() < 0.005, f"{name} outliers"

@@ -74,7 +74,12 @@ def main():
     spp = int(os.environ.get("BENCH_SPP", 32))
     max_depth = int(os.environ.get("BENCH_DEPTH", 10))
 
-    scene = presets.showcase_scene(with_bvh=True, with_meshes=True)
+    # BENCH_SCENE=funnel benches the 25k-primitive BVH stress world
+    # (sub-linear-intersection evidence); default is the showcase.
+    if os.environ.get("BENCH_SCENE") == "funnel":
+        scene = presets.bvh_stress_scene(n_spheres=8192, mesh_detail=2)
+    else:
+        scene = presets.showcase_scene(with_bvh=True, with_meshes=True)
     cfg = integrator.RenderConfig(
         width=width, height=height, samples_per_pixel=spp, max_depth=max_depth,
         env_mode=env_mod.PHYSICAL_SUN,
@@ -83,11 +88,17 @@ def main():
         # lock-step wavefront on v5e (terminated lanes respawn immediately).
         wavefront=not os.environ.get("BENCH_NO_WAVEFRONT"),
     )
-    cam = cam_mod.make_camera(
-        image_width=width, image_height=height, vfov=30.0,
-        lookfrom=(12.0, 2.5, 6.0), lookat=(0.0, 1.0, 0.0),
-        defocus_angle=0.0, focus_dist=10.0,
-    )
+    if os.environ.get("BENCH_SCENE") == "funnel":
+        cam = cam_mod.make_camera(
+            image_width=width, image_height=height, vfov=35.0,
+            lookfrom=(5.0, 6.0, 6.0), lookat=(5.0, 4.0, -12.0),
+        )
+    else:
+        cam = cam_mod.make_camera(
+            image_width=width, image_height=height, vfov=30.0,
+            lookfrom=(12.0, 2.5, 6.0), lookat=(0.0, 1.0, 0.0),
+            defocus_angle=0.0, focus_dist=10.0,
+        )
     env = env_mod.make_environment(sun_direction=(0.4, 0.7, 0.2),
                                    sun_intensity=6.0)
     key = jax.random.PRNGKey(0)

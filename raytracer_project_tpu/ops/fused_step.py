@@ -179,14 +179,21 @@ def build_tables(scene, env, env_mode: int) -> FusedTables:
 def fused_supported(scene, config, identity_pixels: bool) -> bool:
     """Whether the v1 fused step covers this render (else unfused pool)."""
     n_tex = int(np.prod(scene.textures.data.shape[:3]))
+    if scene.mm is None:
+        return False
+    # The intersect kernel holds every coefficient table in VMEM; leave
+    # headroom for ray blocks (v5e: 128 MB VMEM).
+    coeff_bytes = 4 * sum(
+        int(np.prod(t.shape))
+        for t in (scene.mm.sphere_coeff, scene.mm.tri_coeff,
+                  scene.mm.box_coeff)
+    )
     return (
-        scene.mm is not None
-        and scene.volumes is None
+        scene.volumes is None
         and identity_pixels
         and config.n_pixels * config.samples_per_pixel * 2 < (1 << 24)
         and n_tex < (1 << 24)
-        and not (scene.bvh is not None
-                 and scene.primitive_count >= intersect.BVH_MIN_PRIMS)
+        and coeff_bytes < 48 * 1024 * 1024
     )
 
 

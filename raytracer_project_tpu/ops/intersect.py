@@ -582,16 +582,24 @@ def intersect_dispatch(scene: Scene, tmin) -> str:
 
     RAYTRACER_TPU_NO_PALLAS=1 (env, read at trace time) forces the pure
     XLA scan — needed by transforms that cannot enter Pallas kernels
-    (checkify numeric traps, utils/debug.checked)."""
+    (checkify numeric traps, utils/debug.checked).
+
+    On TPU the Pallas chunk-cull scan wins at EVERY measured scene size:
+    the masked lax.while_loop BVH traversal executes catastrophically on
+    this backend (12-42 s per 262k-ray batch vs the kernel's 36-67 ms,
+    810 -> 25k primitives — tools/bench_bvh.py, round 4), while the
+    Morton-chunked cull gives the kernel sub-linear scaling in practice
+    (31x primitives -> 1.8x cost). The threaded BVH remains the CPU
+    large-scene path and the property-test oracle target."""
     import os
 
     no_pallas = bool(os.environ.get("RAYTRACER_TPU_NO_PALLAS"))
+    if (scene.mm is not None and jax.default_backend() == "tpu"
+            and jnp.ndim(tmin) == 0 and not no_pallas):
+        return "pallas"
     if scene.bvh is not None and scene.primitive_count >= BVH_MIN_PRIMS:
         return "bvh"
     if scene.mm is not None:
-        if (jax.default_backend() == "tpu" and jnp.ndim(tmin) == 0
-                and not no_pallas):
-            return "pallas"
         return "mm"
     return "brute"
 

@@ -112,13 +112,12 @@ def run_smoke() -> int:
         return _fail(f"prim-id mismatch at hit rays {bad.tolist()}")
 
     # --- 3. threaded BVH traversal on device (large scene) ----------------
-    # traverse.intersect_bvh never ran compiled on hardware before round 4
-    # (the showcase sits below the BVH crossover); gate it on the funnel
-    # stress world, which dispatches to the BVH path for real.
+    # The TPU dispatch prefers the Pallas scan at every size (it wins by
+    # 300-600x on this backend, tools/bench_bvh.py), but the traversal
+    # remains the CPU large-scene path and a product surface (debug viz,
+    # traversal API) — gate its on-device correctness here regardless.
     big = presets.bvh_stress_scene(n_spheres=9000, with_bvh=True)
-    assert (big.bvh is not None
-            and big.primitive_count >= intersect.BVH_MIN_PRIMS), (
-        "stress scene fell below the BVH crossover; smoke check 3 is void")
+    assert big.bvh is not None
     cam2 = cam_mod.make_camera(image_width=128, image_height=72, vfov=35.0,
                                lookfrom=(5.0, 6.0, 6.0),
                                lookat=(5.0, 4.0, -12.0))

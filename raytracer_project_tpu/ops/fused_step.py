@@ -86,7 +86,7 @@ from .pallas_intersect import _coarsen_bounds, scan_tables
 # kernel-B program. 1-D lane blocks must be multiples of 1024 (XLA's
 # T(1024) layout for flat f32 arrays).
 A_BLOCK = 512
-D_BLOCK = 4096
+D_BLOCK = 2048
 B_BLOCK = 4096
 LANE = 128  # minor dim of the [R, 128] lane-state layout
 
@@ -201,19 +201,31 @@ def fused_supported(scene, config, identity_pixels: bool) -> bool:
 # Kernel A: trace + decode
 # ---------------------------------------------------------------------------
 
-def _onehot_rows(idx_f32, table_ref):
-    """table[idx] for a [B] f32 index vector via one-hot MXU matmul.
+def _onehot_rows(idx_f32, table_ref, window: int = 512):
+    """table[idx] for a [B] f32 index vector via one-hot MXU matmuls.
 
-    The TPU has no vectorized VMEM gather; a [B, Nrows] one-hot against the
-    resident table is one MXU dot (~4 us at B=512, Nrows=1536) and replaces
-    the XLA-side gather round trip entirely.
+    The TPU has no vectorized VMEM gather; a [B, rows] one-hot against the
+    resident table replaces the XLA-side gather round trip entirely.
+    Tables wider than `window` rows are swept in window-sized one-hot
+    matmuls with accumulation, bounding the [B, window] transient (an
+    unwindowed [4096, 1536] one-hot got the server-side Mosaic compile
+    OOM-killed).
     """
     n_rows = table_ref.shape[0]
     b = idx_f32.shape[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (b, n_rows), 1)
-    onehot = (rows == idx_f32.astype(jnp.int32)[:, None]).astype(jnp.float32)
-    return jnp.dot(onehot, table_ref[:],
-                   preferred_element_type=jnp.float32)
+    idx_i = idx_f32.astype(jnp.int32)
+    if n_rows <= window:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (b, n_rows), 1)
+        onehot = (rows == idx_i[:, None]).astype(jnp.float32)
+        return jnp.dot(onehot, table_ref[:],
+                       preferred_element_type=jnp.float32)
+    acc = jnp.zeros((b, table_ref.shape[1]), jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (b, window), 1)
+    for w0 in range(0, n_rows, window):
+        onehot = (rows == (idx_i - w0)[:, None]).astype(jnp.float32)
+        acc = acc + jnp.dot(onehot, table_ref[w0:w0 + window, :],
+                            preferred_element_type=jnp.float32)
+    return acc
 
 
 # Kernel-A scalar params layout (SMEM f32 [1, 8]):

@@ -4,8 +4,7 @@ import subprocess, sys, time, os
 
 AGENDA = [
     ("fused",   "tools/_probe_fused.py",       1500),
-    ("isect",   "tools/_probe_isect_sizes.py", 1500),
-    ("bvh",     "tools/bench_bvh.py",          1800),
+    ("onedot",  "tools/_probe_onedot.py",      1500),
 ]
 
 for name, script, to in AGENDA:

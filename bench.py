@@ -31,36 +31,63 @@ NORTH_STAR_RAYS_PER_S = 1.0e9
 SMOKE_TIMEOUT_S = int(os.environ.get("BENCH_SMOKE_TIMEOUT", 420))
 
 
-def run_smoke_gate() -> None:
-    """Run the on-device smoke in a subprocess; exit nonzero on any failure."""
+def try_smoke(extra_env: dict) -> tuple[bool, str]:
+    """Run the on-device smoke in a subprocess; (ok, diagnostic tail).
+
+    The smoke prints flushed per-stage heartbeats, so on a timeout the
+    captured tail names the stage that wedged."""
+    env = dict(os.environ, **extra_env)
     try:
         proc = subprocess.run(
             [sys.executable, "-m", "raytracer_project_tpu.utils.smoke"],
             cwd=os.path.dirname(os.path.abspath(__file__)),
             capture_output=True, text=True, timeout=SMOKE_TIMEOUT_S,
+            env=env,
         )
-    except subprocess.TimeoutExpired:
-        print(json.dumps({
-            "metric": "rays_per_second_showcase", "value": 0.0,
-            "unit": "rays/s", "vs_baseline": 0.0,
-            "error": f"smoke gate timed out after {SMOKE_TIMEOUT_S}s "
-                     "(device hang)",
-        }))
-        sys.exit(1)
+    except subprocess.TimeoutExpired as e:
+        out = e.stdout or b""
+        tail = (out if isinstance(out, str) else
+                out.decode("utf-8", "replace"))[-1500:]
+        return False, (f"smoke timed out after {SMOKE_TIMEOUT_S}s "
+                       f"(device hang); tail: {tail}")
     if proc.returncode != 0:
-        print(json.dumps({
-            "metric": "rays_per_second_showcase", "value": 0.0,
-            "unit": "rays/s", "vs_baseline": 0.0,
-            "error": "smoke gate failed",
-            "stderr": proc.stderr[-2000:],
-        }))
-        sys.exit(1)
+        return False, (f"smoke failed; stdout tail: {proc.stdout[-1000:]} "
+                       f"stderr tail: {proc.stderr[-1000:]}")
     print(f"# {proc.stdout.strip()}", file=sys.stderr)
+    return True, ""
+
+
+def run_smoke_gate() -> str:
+    """Smoke-gate with graceful degrade: if the default (fused-enabled)
+    smoke fails, retry with the fused engine disabled and — if that
+    passes — run the whole bench on the unfused pool instead of zeroing
+    the round (reference analog: OIDN device->CPU retry,
+    /root/reference/camera.hpp:586-593). Returns the engine mode:
+    "fused" | "unfused_fallback"."""
+    ok, why = try_smoke({})
+    if ok:
+        return "fused"
+    print(f"# fused-path smoke failed: {why}", file=sys.stderr)
+    print("# retrying with RAYTRACER_TPU_NO_FUSED=1", file=sys.stderr)
+    ok2, why2 = try_smoke({"RAYTRACER_TPU_NO_FUSED": "1"})
+    if ok2:
+        os.environ["RAYTRACER_TPU_NO_FUSED"] = "1"
+        return "unfused_fallback"
+    print(json.dumps({
+        "metric": "rays_per_second_showcase", "value": 0.0,
+        "unit": "rays/s", "vs_baseline": 0.0,
+        "error": f"smoke gate failed on BOTH engines. fused: {why}"[:1500],
+        "error_unfused": why2[:1500],
+    }))
+    sys.exit(1)
 
 
 def main():
+    engine = "untested"
     if not os.environ.get("BENCH_SKIP_SMOKE"):
-        run_smoke_gate()
+        engine = run_smoke_gate()
+    if os.environ.get("RAYTRACER_TPU_NO_FUSED") and engine == "untested":
+        engine = "unfused"
 
     import jax
 
@@ -134,15 +161,15 @@ def main():
     # dispatch in ops/intersect.py:intersect) — "bvh": true alone was
     # misleading when the prim count sat below the traversal crossover.
     from raytracer_project_tpu.ops import intersect as isect_mod
-    if (scene.bvh is not None
-            and scene.primitive_count >= isect_mod.BVH_MIN_PRIMS):
-        hot_path = "bvh_traversal"
-    elif scene.mm is not None and jax.default_backend() == "tpu":
-        hot_path = "pallas_chunk_cull"
-    elif scene.mm is not None:
-        hot_path = "mxu_matmul_scan"
-    else:
-        hot_path = "brute_scan"
+    hot_path = isect_mod.intersect_dispatch(scene, 1e-3)
+
+    # Which integrator engine actually served (fused two-kernel step vs
+    # unfused pooled wavefront), mirroring wavefront.render_pool's gate.
+    if engine == "fused":
+        from raytracer_project_tpu.ops import fused_step
+        if fused_step.fused_spp_chunk(scene, cfg, env) <= 0 or (
+                jax.default_backend() != "tpu"):
+            engine = "unfused"
 
     print(json.dumps({
         "metric": "rays_per_second_showcase",
@@ -155,6 +182,7 @@ def main():
             "primitives": int(scene.primitive_count),
             "devices": [str(d) for d in jax.devices()],
             "intersector": hot_path,
+            "engine": engine,
             "rays_per_s_upper_bound": upper_bound,
             "rays_per_s_measured": measured,
             "segments_traced": segments,

@@ -122,11 +122,19 @@ def _pad_rows(a, mult, fill=0.0):
 
 
 class FusedTables(NamedTuple):
-    """Scene constants consumed by the fused kernels (all jnp, traced)."""
+    """Scene constants consumed by the fused kernels (all jnp, traced).
 
-    rectab: jax.Array     # f32[Ntot_pad, 28] packed primitive shading rows
-    mattab: jax.Array     # f32[M_pad, 8] material columns (_mat_fetch order)
-    texmeta: jax.Array    # f32[K_pad, 10] texture metadata (sample_soa order)
+    The row tables are stored TRANSPOSED ([cols, rows]): the decode
+    kernel's one-hot fetch computes tableT @ onehotT -> [cols, B] so each
+    fetched field is a dense [B] row slice. The untransposed orientation
+    would need per-field column extraction from a [B, cols] product,
+    which the Mosaic compiler handles catastrophically (8 extracted
+    columns = 56 s compile, 16+ = compile-helper OOM — the round-4
+    "device hang"; tools/probe_onehot2.py)."""
+
+    rectab: jax.Array     # f32[28, Ntot_pad] packed primitive shading rows
+    mattab: jax.Array     # f32[8, M_pad] material columns (_mat_fetch order)
+    texmeta: jax.Array    # f32[10, K_pad] texture metadata (sample_soa order)
     atlas_flat: jax.Array   # f32[3, K*AH*AW] image texels by channel
     grad_flat: jax.Array    # f32[2, K*AH*AW] bump neighbor deltas
     env_flat: jax.Array | None  # f32[3, EH*EW] HDR texels (HDR mode only)
@@ -165,9 +173,9 @@ def build_tables(scene, env, env_mode: int) -> FusedTables:
     sizes = [int(c.shape[0]) for c in channels]
     offsets = tuple(int(sum(sizes[:k])) for k in range(len(sizes)))
     return FusedTables(
-        rectab=_pad_rows(_packed_all(scene), A_BLOCK),
-        mattab=_pad_rows(mattab, 8),
-        texmeta=_pad_rows(texmeta, 8),
+        rectab=_pad_rows(_packed_all(scene), A_BLOCK).T,
+        mattab=_pad_rows(mattab, 8).T,
+        texmeta=_pad_rows(texmeta, 8).T,
         atlas_flat=atlas_flat,
         grad_flat=grad_flat,
         env_flat=env_flat,
@@ -176,7 +184,25 @@ def build_tables(scene, env, env_mode: int) -> FusedTables:
     )
 
 
-def fused_supported(scene, config, identity_pixels: bool) -> bool:
+# Work-id cap: kernel B's respawn decodes (pixel, sample) from the global
+# work counter in f32, which is exact only below 2^24. Callers with more
+# total work sample-chunk (see wavefront.render_pool / fused_spp_chunk).
+_TOTAL_WORK_CAP = 1 << 24
+
+
+def fused_spp_chunk(scene, config, env=None) -> int:
+    """Largest per-call spp the fused step can cover for this scene/config
+    (0 = unsupported regardless of spp). render_pool uses this to
+    sample-chunk big renders onto the fused engine: each chunk is
+    bit-identical to the corresponding sample range of one big call
+    because lane RNG streams are (pixel, sample)-keyed."""
+    if not fused_supported(scene, config, True, env, check_spp=False):
+        return 0
+    return max(0, (_TOTAL_WORK_CAP - 1) // (2 * config.n_pixels))
+
+
+def fused_supported(scene, config, identity_pixels: bool,
+                    env=None, check_spp: bool = True) -> bool:
     """Whether the v1 fused step covers this render (else unfused pool)."""
     n_tex = int(np.prod(scene.textures.data.shape[:3]))
     if scene.mm is None:
@@ -188,11 +214,20 @@ def fused_supported(scene, config, identity_pixels: bool) -> bool:
         for t in (scene.mm.sphere_coeff, scene.mm.tri_coeff,
                   scene.mm.box_coeff)
     )
+    # The decode kernel carries the equirect row index as f32
+    # (envrow = ej*ew + ei): an HDRI at or beyond 2^24 texels would lose
+    # integer precision and fetch wrong environment texels.
+    env_texels = 0
+    if env is not None and config.env_mode == env_mod.HDR_MAP:
+        env_texels = int(np.prod(env.hdr_image.shape[:2]))
     return (
         scene.volumes is None
         and identity_pixels
-        and config.n_pixels * config.samples_per_pixel * 2 < (1 << 24)
+        and (not check_spp
+             or config.n_pixels * config.samples_per_pixel * 2
+             < _TOTAL_WORK_CAP)
         and n_tex < (1 << 24)
+        and env_texels < (1 << 24)
         and coeff_bytes < 48 * 1024 * 1024
     )
 
@@ -201,30 +236,39 @@ def fused_supported(scene, config, identity_pixels: bool) -> bool:
 # Kernel A: trace + decode
 # ---------------------------------------------------------------------------
 
-def _onehot_rows(idx_f32, table_ref, window: int = 512):
-    """table[idx] for a [B] f32 index vector via one-hot MXU matmuls.
+def _onehot_rows(idx_f32, tableT_ref, window: int = 512):
+    """tableT[:, idx] for a [B] f32 index vector via one-hot MXU matmuls.
 
-    The TPU has no vectorized VMEM gather; a [B, rows] one-hot against the
-    resident table replaces the XLA-side gather round trip entirely.
+    tableT_ref is the TRANSPOSED [cols, rows] table; the result is
+    [cols, B] so each field is a dense [B] row slice (``out[k, :]``).
+    This orientation is load-bearing: extracting per-field COLUMNS from a
+    [B, cols] product sends the Mosaic compiler into a pathological
+    relayout search (8 columns = 56 s, 16+ = compile-helper OOM-kill —
+    the round-4 "device hang"), while row slices of [cols, B] are free
+    (0.9 s compile at 24 fields; tools/probe_onehot2.py).
+
     Tables wider than `window` rows are swept in window-sized one-hot
-    matmuls with accumulation, bounding the [B, window] transient (an
-    unwindowed [4096, 1536] one-hot got the server-side Mosaic compile
-    OOM-killed).
+    matmuls with accumulation, bounding the [window, B] transient (an
+    unwindowed [4096, 1536] one-hot also OOM-killed the compile helper).
+    The last window may be short: tables are padded to a multiple of 8,
+    not of `window`.
     """
-    n_rows = table_ref.shape[0]
+    n_rows = tableT_ref.shape[1]
     b = idx_f32.shape[0]
     idx_i = idx_f32.astype(jnp.int32)
-    if n_rows <= window:
-        rows = jax.lax.broadcasted_iota(jnp.int32, (b, n_rows), 1)
-        onehot = (rows == idx_i[:, None]).astype(jnp.float32)
-        return jnp.dot(onehot, table_ref[:],
-                       preferred_element_type=jnp.float32)
-    acc = jnp.zeros((b, table_ref.shape[1]), jnp.float32)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (b, window), 1)
+    acc = jnp.zeros((tableT_ref.shape[0], b), jnp.float32)
     for w0 in range(0, n_rows, window):
-        onehot = (rows == (idx_i - w0)[:, None]).astype(jnp.float32)
-        acc = acc + jnp.dot(onehot, table_ref[w0:w0 + window, :],
-                            preferred_element_type=jnp.float32)
+        wlen = min(window, n_rows - w0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (wlen, b), 0)
+        onehotT = (rows == idx_i[None, :] - w0).astype(jnp.float32)
+        # HIGHEST precision: the default bf16-decomposed f32 MXU passes
+        # drop low mantissa bits of the FETCHED VALUES (a one-hot fetch
+        # must be bit-exact — geometry coefficients feed hit decisions);
+        # measured: default precision put 8% of showcase pixels >0.05 off
+        # the unfused pool on device, HIGHEST is exact.
+        acc = acc + jnp.dot(tableT_ref[:, w0:w0 + wlen], onehotT,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
     return acc
 
 
@@ -264,13 +308,13 @@ def _decode_kernel(
     base = jnp.where(is_tri, n_spheres,
                      jnp.where(is_box, n_spheres + n_tris, 0))
     row_f = jnp.clip((best_idx + base).astype(jnp.float32), 0.0,
-                     float(rectab_ref.shape[0] - 1))
-    grow = _onehot_rows(row_f, rectab_ref)    # [B, 28]
+                     float(rectab_ref.shape[1] - 1))
+    grow = _onehot_rows(row_f, rectab_ref)    # [28, B] (transposed fetch)
 
     def sel_cols(mask, default, ncols):
         zero = jnp.zeros((b,), jnp.float32)
         return tuple(
-            jnp.where(mask, grow[:, k], float(default[k])) if k < ncols
+            jnp.where(mask, grow[k, :], float(default[k])) if k < ncols
             else zero
             for k in range(_PACK_COLS)
         )
@@ -306,22 +350,22 @@ def _decode_kernel(
     # --- material row via one-hot (mattab in _mat_fetch column order) ---
     mrow = _onehot_rows(
         jnp.clip(mat.astype(jnp.float32), 0.0,
-                 float(mattab_ref.shape[0] - 1)),
+                 float(mattab_ref.shape[1] - 1)),
         mattab_ref,
     )
-    solid = (mrow[:, 0], mrow[:, 1], mrow[:, 2])
-    param = mrow[:, 3]
-    mtype = mrow[:, 4]
-    tex_id = mrow[:, 5]
-    bump_id = mrow[:, 6]
-    bstr = mrow[:, 7]
+    solid = (mrow[0, :], mrow[1, :], mrow[2, :])
+    param = mrow[3, :]
+    mtype = mrow[4, :]
+    tex_id = mrow[5, :]
+    bump_id = mrow[6, :]
+    bstr = mrow[7, :]
 
     # --- texture row index + non-image base color (textures.sample_soa) ---
     tmeta = _onehot_rows(
-        jnp.clip(tex_id, 0.0, float(texmeta_ref.shape[0] - 1)), texmeta_ref,
+        jnp.clip(tex_id, 0.0, float(texmeta_ref.shape[1] - 1)), texmeta_ref,
     )
-    kind = tmeta[:, 0]
-    tw, th = tmeta[:, 1], tmeta[:, 2]
+    kind = tmeta[0, :]
+    tw, th = tmeta[1, :], tmeta[2, :]
     uu = u - jnp.floor(u)
     ti = jnp.clip(jnp.floor(uu * tw), 0.0, jnp.maximum(tw - 1.0, 0.0))
     tj = jnp.clip(jnp.floor(v * th), 0.0, jnp.maximum(th - 1.0, 0.0))
@@ -333,23 +377,23 @@ def _decode_kernel(
     # texture id so kernel B's tex3 select matches shade.scatter_soa.
     is_image = (kind == tex_mod.KIND_IMAGE) & (tex_id >= 0.0) & ~is_diel
     # Checker (parity of floored world cells) + missing-cyan + solid base.
-    inv_scale = tmeta[:, 3]
+    inv_scale = tmeta[3, :]
     cells = (jnp.floor(inv_scale * p[0]) + jnp.floor(inv_scale * p[1])
              + jnp.floor(inv_scale * p[2]))
     is_even = cells - 2.0 * jnp.floor(cells * 0.5) == 0.0
     cyan = (0.0, 1.0, 1.0)
     base_color = []
     for c in range(3):
-        col = jnp.where(is_even, tmeta[:, 4 + c], tmeta[:, 7 + c])
+        col = jnp.where(is_even, tmeta[4 + c, :], tmeta[7 + c, :])
         col = jnp.where(kind == tex_mod.KIND_MISSING, cyan[c], col)
         base_color.append(
             jnp.where((tex_id < 0.0) | is_diel, solid[c], col))
 
     # --- bump row + finite-difference crossing gates (sample_bump_deltas) ---
     bmeta = _onehot_rows(
-        jnp.clip(bump_id, 0.0, float(texmeta_ref.shape[0] - 1)), texmeta_ref,
+        jnp.clip(bump_id, 0.0, float(texmeta_ref.shape[1] - 1)), texmeta_ref,
     )
-    bw, bh = bmeta[:, 1], bmeta[:, 2]
+    bw, bh = bmeta[1, :], bmeta[2, :]
     buu = u - jnp.floor(u)
     bi = jnp.clip(jnp.floor(buu * bw), 0.0, jnp.maximum(bw - 1.0, 0.0))
     bj = jnp.clip(jnp.floor(v * bh), 0.0, jnp.maximum(bh - 1.0, 0.0))

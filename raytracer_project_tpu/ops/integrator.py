@@ -24,6 +24,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import rng, vecmath
 from ..core.constants import (
@@ -350,6 +351,10 @@ def accumulate_samples(scene: Scene, cam: camera_mod.Camera, env, key,
     with_stats (static): also return a stats dict. The pooled wavefront
     reports measured path segments ({"segments", "steps"}); the chunked
     path has no on-device counter, so it reports {"segments": None}.
+
+    pixel_ids=None statically means the identity full frame (see
+    wavefront.render_pool) — the form jitted callers must use for the
+    fused fast path to be reachable.
     """
     if config.wavefront and not config.differentiable:
         from . import wavefront
@@ -358,6 +363,8 @@ def accumulate_samples(scene: Scene, cam: camera_mod.Camera, env, key,
             scene, cam, env, key, config, pixel_ids, sample_offset,
             pool_lanes=config.pool_lanes, with_stats=with_stats,
         )
+    if pixel_ids is None:
+        pixel_ids = np.arange(config.n_pixels, dtype=np.int32)
     spp = config.samples_per_pixel
     aux = min(config.aux_samples, spp)
     n = pixel_ids.shape[0]
@@ -424,11 +431,9 @@ def render(scene: Scene, cam: camera_mod.Camera, env, key,
     returns the accumulate_samples stats dict (measured segment counts on
     the pooled-wavefront path).
     """
-    # numpy (not traced) so downstream code can prove the ids are the
-    # identity at trace time and skip per-spawn pixel gathers.
-    import numpy as np
-
-    pixel_ids = np.arange(config.n_pixels, dtype=np.int32)
+    # None = static identity marker, so downstream code can prove the ids
+    # are the identity at trace time and skip per-spawn pixel gathers.
+    pixel_ids = None
     if with_stats:
         acc, stats = accumulate_samples(scene, cam, env, key, config,
                                         pixel_ids, with_stats=True)

@@ -593,10 +593,21 @@ def intersect_dispatch(scene: Scene, tmin) -> str:
     large-scene path and the property-test oracle target."""
     import os
 
+    import numpy as np
+
     no_pallas = bool(os.environ.get("RAYTRACER_TPU_NO_PALLAS"))
     if (scene.mm is not None and jax.default_backend() == "tpu"
             and jnp.ndim(tmin) == 0 and not no_pallas):
-        return "pallas"
+        # The kernel keeps every coefficient table VMEM-resident; beyond
+        # a ~48 MB budget (same bound as fused_supported; v5e VMEM is
+        # 128 MB) Mosaic would OOM, so hand such scenes to the BVH.
+        coeff_bytes = 4 * sum(
+            int(np.prod(t.shape))
+            for t in (scene.mm.sphere_coeff, scene.mm.tri_coeff,
+                      scene.mm.box_coeff)
+        )
+        if coeff_bytes < 48 * 1024 * 1024:
+            return "pallas"
     if scene.bvh is not None and scene.primitive_count >= BVH_MIN_PRIMS:
         return "bvh"
     if scene.mm is not None:

@@ -489,23 +489,68 @@ def render_pool(scene: Scene, cam: camera_mod.Camera, env, key,
     full-frame renders of brute-scan scenes — see
     fused_step.fused_supported) dispatch to ops/fused_step.py: identical
     per-sample values, ~an order of magnitude less XLA overhead per step.
+
+    pixel_ids=None means "the identity full frame" statically — the only
+    way a jitted caller (e.g. the progressive session) can assert identity
+    at trace time, where any array argument is a tracer.
+
+    RAYTRACER_TPU_NO_FUSED=1 (env, read at trace time) is the fused-path
+    kill-switch: it forces the unfused pool even on TPU, so one bad fused
+    kernel can never zero out the whole engine (the reference's analogous
+    graceful-degrade: OIDN device -> CPU retry, camera.hpp:586-593).
     """
+    import os
+
     import numpy as np
 
     from . import fused_step
 
-    n = pixel_ids.shape[0]
-    identity_pixels = (
-        isinstance(pixel_ids, np.ndarray) or not isinstance(pixel_ids, jax.Array)
-    ) and n == config.n_pixels and bool(
-        np.array_equal(np.asarray(pixel_ids), np.arange(n))
-    )
-    if (jax.default_backend() == "tpu"
-            and fused_step.fused_supported(scene, config, identity_pixels)):
-        return fused_step.render_pool_fused(
-            scene, cam, env, key, config, sample_offset, pool_lanes,
-            with_stats=with_stats,
+    if pixel_ids is None:
+        pixel_ids = np.arange(config.n_pixels, dtype=np.int32)
+        identity_pixels = True
+    else:
+        n = pixel_ids.shape[0]
+        identity_pixels = (
+            isinstance(pixel_ids, np.ndarray)
+            or not isinstance(pixel_ids, jax.Array)
+        ) and n == config.n_pixels and bool(
+            np.array_equal(np.asarray(pixel_ids), np.arange(n))
         )
+    no_fused = bool(os.environ.get("RAYTRACER_TPU_NO_FUSED"))
+    if (not no_fused and jax.default_backend() == "tpu"
+            and identity_pixels):
+        spp = config.samples_per_pixel
+        chunk = fused_step.fused_spp_chunk(scene, config, env)
+        if chunk >= spp:
+            return fused_step.render_pool_fused(
+                scene, cam, env, key, config, sample_offset, pool_lanes,
+                with_stats=with_stats,
+            )
+        if chunk > 0:
+            # Sample-chunked fused accumulation: each chunk renders a spp
+            # range below the fused work-id cap; lane RNG streams are
+            # (pixel, sample)-keyed so the sum is bit-identical to one
+            # oversized call (and to the unfused pool's sample set).
+            import dataclasses
+
+            out = None
+            segments = jnp.zeros((), jnp.float32)
+            steps = jnp.zeros((), jnp.int32)
+            for off in range(0, spp, chunk):
+                cfg_c = dataclasses.replace(
+                    config, samples_per_pixel=min(chunk, spp - off))
+                res = fused_step.render_pool_fused(
+                    scene, cam, env, key, cfg_c, sample_offset + off,
+                    pool_lanes, with_stats=with_stats)
+                if with_stats:
+                    res, st = res
+                    segments = segments + st["segments"]
+                    steps = steps + st["steps"]
+                out = res if out is None else jax.tree.map(
+                    jnp.add, out, res)
+            if with_stats:
+                return out, {"segments": segments, "steps": steps}
+            return out
 
     state, cond, body = make_pool(
         scene, cam, env, key, config, pixel_ids, sample_offset, pool_lanes

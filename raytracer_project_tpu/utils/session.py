@@ -102,7 +102,12 @@ class RenderSession:
                 static_argnames=("config",),
             )
         else:
-            self._ids = jnp.arange(config.n_pixels, dtype=jnp.int32)
+            # Single-device sessions render the identity full frame:
+            # pixel_ids=None asserts that STATICALLY through jit, so the
+            # pooled wavefront's fused-dispatch identity check holds at
+            # trace time (an array argument would be a tracer and the
+            # fused two-kernel step could never engage from here).
+            self._ids = None
             self._n_pad = config.n_pixels
             base = jax.jit(
                 integrator.accumulate_samples,

@@ -447,19 +447,17 @@ def _decode_kernel(
         ref[:] = val
 
 
-def trace_decode(scene, tables: FusedTables, feats, aparams, env_hw,
+def trace_decode(scene, tables: FusedTables, o, d, aparams, env_hw,
                  *, interpret=False):
-    """Kernels A1+A2: intersect (the proven chunk-cull kernel) then the
-    decode kernel at D_BLOCK lanes. Returns a tuple of _RO_ROWS flat [P]
-    per-lane vectors in _RO_* order."""
+    """Kernels A1+A2: intersect (the proven chunk-cull kernel, ray
+    features built in-kernel from o/d) then the decode kernel at D_BLOCK
+    lanes. Returns a tuple of _RO_ROWS flat [P] per-lane vectors in
+    _RO_* order."""
     from . import pallas_intersect
 
-    p_lanes = feats.shape[1]
-    # A1: closest hit (o/d recovered from the feature rows for A2).
-    hit = pallas_intersect.intersect_brute_pallas_feats(
-        scene, feats, T_MIN, interpret=interpret)
-    o = (feats[3], feats[4], feats[5])
-    d = (feats[0], feats[1], feats[2])
+    p_lanes = o[0].shape[0]
+    hit = pallas_intersect.intersect_brute_pallas_od(
+        scene, o, d, T_MIN, interpret=interpret)
 
     ah, aw = scene.textures.data.shape[1], scene.textures.data.shape[2]
     kernel = functools.partial(
@@ -1075,6 +1073,10 @@ def make_pool_fused(scene, cam, env, key, config, sample_offset=0,
     want_spec = config.use_reflection or config.use_refraction
     n_beauty = n * spp
     total_work = n_beauty * (2 if want_spec else 1)
+    # 262k lanes: past this, per-step cost grows ~linearly (+5% raw
+    # lane-steps/s at 512k) but dead-lane waste in the tail drains grows
+    # faster — 512k measured NET WORSE on the 800x450@32spp bench
+    # (6.15M vs 6.88M rays/s; live-lane fraction 87% -> 77%).
     p = pool_lanes or min(total_work, 262_144)
     p = max(B_BLOCK, -(-p // B_BLOCK) * B_BLOCK)
     seed = rng.seed_from_key(key)
@@ -1152,10 +1154,9 @@ def make_pool_fused(scene, cam, env, key, config, sample_offset=0,
         return s.live_count[0, 0] > 0
 
     def body(s: FusedPoolState):
-        # Kernels A1 (intersect) + A2 (decode).
-        feats = intersect.ray_features_soa(s.o, s.d)
+        # Kernels A1 (intersect, features in-kernel) + A2 (decode).
         rec = trace_decode(
-            scene, tables, feats, aparams, env_hw, interpret=interpret)
+            scene, tables, s.o, s.d, aparams, env_hw, interpret=interpret)
 
         # XLA seam: ONE batched gather for every texel channel (per-gather
         # staging dominates on this backend; 5-8 separate gathers cost

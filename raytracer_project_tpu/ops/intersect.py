@@ -1182,8 +1182,7 @@ def intersect_soa(scene: Scene, o, d, tmin) -> Hit:
     if intersect_dispatch(scene, tmin) == "pallas":
         from . import pallas_intersect
 
-        return pallas_intersect.intersect_brute_pallas_feats(
-            scene, ray_features_soa(o, d), tmin)
+        return pallas_intersect.intersect_brute_pallas_od(scene, o, d, tmin)
     return intersect(scene, soa.pack(o), soa.pack(d), tmin)
 
 

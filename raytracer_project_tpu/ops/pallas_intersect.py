@@ -58,6 +58,12 @@ def _coarsen_bounds(fine):
     r = jnp.asarray(fine).reshape(nc, g, 6)
     return jnp.concatenate([r[:, :, :3].min(1), r[:, :, 3:].max(1)], axis=1)
 
+import os as _os
+
+_DOT_PRECISION = getattr(
+    jax.lax.Precision,
+    _os.environ.get("RAYTRACER_TPU_ISECT_PREC", "HIGHEST"))
+
 # Rays per grid program.
 BLOCK_RAYS = 512
 # Primitive columns per inner-loop chunk. Bigger chunks amortize the
@@ -125,8 +131,9 @@ def scan_tables(feats, tmin, scoeff_ref, tcoeff_ref, bcoeff_ref,
                 block = block.reshape(RAY_FEATURE_DIM, g * CHUNK_PRIMS)
                 # HIGHEST: default TPU matmul precision is bf16 and flips
                 # hits (see intersect._scan_chunks_mm).
+                # RAYTRACER_TPU_ISECT_PREC exists for perf ablation only.
                 out = jnp.dot(feats, block, preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
+                              precision=_DOT_PRECISION)
                 groups = [out[:, i * CHUNK_PRIMS:(i + 1) * CHUNK_PRIMS]
                           for i in range(g)]
                 t = epilogue(*groups, tmin, best_t)
@@ -199,6 +206,126 @@ def _closest_hit_kernel(tmin_ref, feats_ref, scoeff_ref, tcoeff_ref,
     type_ref[:] = best_type[:, None]
 
 
+def feats_rows_from_od(o, d):
+    """The 16 ray-feature rows (ray_features order) from o/d component
+    vectors — shared by the in-kernel builders so the math is identical
+    to intersect.ray_features_soa."""
+    o0, o1, o2 = o
+    d0, d1, d2 = d
+    m0 = o1 * d2 - o2 * d1
+    m1 = o2 * d0 - o0 * d2
+    m2 = o0 * d1 - o1 * d0
+    od = o0 * d0 + o1 * d1 + o2 * d2
+    oo = o0 * o0 + o1 * o1 + o2 * o2
+    dd = d0 * d0 + d1 * d1 + d2 * d2
+    one = jnp.ones_like(od)
+    zero = jnp.zeros_like(od)
+    return [d0, d1, d2, o0, o1, o2, m0, m1, m2, od, oo, one, dd,
+            zero, zero, zero]
+
+
+def _closest_hit_kernel_od(tmin_ref, od_ref,
+                           scoeff_ref, tcoeff_ref, bcoeff_ref,
+                           sbounds_ref, tbounds_ref, bbounds_ref,
+                           t_ref, idx_ref, type_ref,
+                           *, n_spheres: int, n_tris: int, n_boxes: int):
+    """Closest hit straight from o/d rows (od_ref [6, B]: ox oy oz dx dy
+    dz): the 16-row feature matrix is built IN-KERNEL (cheap VPU math on
+    the block), so the [16, P] feats array never materializes in HBM —
+    the XLA side stacks only 6 rows instead of 16 and the fused loop
+    saves 10 rows/step of HBM traffic. (o/d ride one 2-D array because
+    1-D lane blocks must be multiples of the T(1024) layout; a 2-D
+    [6, 512] block has no such constraint.)"""
+    o = (od_ref[0, :], od_ref[1, :], od_ref[2, :])
+    d = (od_ref[3, :], od_ref[4, :], od_ref[5, :])
+    feats = jnp.stack(feats_rows_from_od(o, d), axis=0).T   # [B, 16]
+    b = feats.shape[0]
+    tmin = jnp.full((b,), tmin_ref[0, 0])
+    best_t, best_idx, best_type = scan_tables(
+        feats, tmin, scoeff_ref, tcoeff_ref, bcoeff_ref,
+        sbounds_ref, tbounds_ref, bbounds_ref,
+        n_spheres=n_spheres, n_tris=n_tris, n_boxes=n_boxes,
+    )
+    t_ref[:] = best_t[:, None]
+    idx_ref[:] = best_idx[:, None]
+    type_ref[:] = best_type[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("n_spheres", "n_tris", "n_boxes",
+                                              "interpret"))
+def _closest_hit_call_od(od6, scoeff, tcoeff, bcoeff, sbounds, tbounds,
+                         bbounds, tmin, *, n_spheres, n_tris, n_boxes,
+                         interpret=False):
+    n = od6.shape[1]
+    n_pad = -(-n // BLOCK_RAYS) * BLOCK_RAYS
+    if n_pad != n:
+        od6 = jnp.pad(od6, ((0, 0), (0, n_pad - n)), constant_values=1.0)
+    grid = (n_pad // BLOCK_RAYS,)
+
+    kernel = functools.partial(
+        _closest_hit_kernel_od, n_spheres=n_spheres, n_tris=n_tris,
+        n_boxes=n_boxes,
+    )
+    t, idx, ptype = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((6, BLOCK_RAYS), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec(scoeff.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tcoeff.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(bcoeff.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(sbounds.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(tbounds.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(bbounds.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((BLOCK_RAYS, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_RAYS, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_RAYS, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.reshape(tmin, (1, 1)), od6, scoeff, tcoeff, bcoeff,
+      sbounds, tbounds, bbounds)
+    return t[:n, 0], idx[:n, 0], ptype[:n, 0]
+
+
+def intersect_brute_pallas_od(scene, o, d, tmin, *,
+                              interpret: bool = False) -> Hit:
+    """Closest hit from o/d component tuples; features built in-kernel."""
+    tmin = jnp.asarray(tmin, jnp.float32).reshape(())
+    sbounds = _coarsen_bounds(scene.mm.sphere_bounds)
+    tbounds = _coarsen_bounds(scene.mm.tri_bounds)
+    bbounds = _coarsen_bounds(scene.mm.box_bounds)
+    od6 = jnp.stack([o[0], o[1], o[2], d[0], d[1], d[2]], axis=0)
+    t, idx, ptype = _closest_hit_call_od(
+        od6, scene.mm.sphere_coeff, scene.mm.tri_coeff,
+        scene.mm.box_coeff, sbounds, tbounds, bbounds, tmin,
+        n_spheres=scene.spheres.count, n_tris=scene.triangles.count,
+        n_boxes=scene.boxes.count if scene.boxes is not None else 0,
+        interpret=interpret,
+    )
+    return Hit(t=t, prim_type=ptype, prim_idx=idx, hit=t < T_MAX)
+
+
 @functools.partial(jax.jit, static_argnames=("n_spheres", "n_tris", "n_boxes",
                                               "interpret"))
 def _closest_hit_call(feats, scoeff, tcoeff, bcoeff, sbounds, tbounds, bbounds,
@@ -246,6 +373,8 @@ def _closest_hit_call(feats, scoeff, tcoeff, bcoeff, sbounds, tbounds, bbounds,
             jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
             jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(jnp.reshape(tmin, (1, 1)), feats, scoeff, tcoeff, bcoeff,
       sbounds, tbounds, bbounds)

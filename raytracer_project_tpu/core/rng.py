@@ -129,7 +129,10 @@ def _mix4(a, b, c, d):
 def bits4(lr: LaneRng, stream: int, salt: int = 0):
     """Four u32 words for this lane batch at the given draw site."""
     word = lr.ctx * jnp.uint32(_N_STREAMS) + jnp.uint32(stream)
-    seed = lr.seed + jnp.uint32(salt * 0x85EBCA6B)
+    # Mask to 32 bits BEFORE the jnp.uint32 cast: salt >= 2 makes the
+    # Python product exceed uint32 and jnp.uint32() raises OverflowError
+    # (hit by any scene with two or more fog volumes).
+    seed = lr.seed + jnp.uint32((salt * 0x85EBCA6B) & 0xFFFFFFFF)
     n = jnp.broadcast_shapes(jnp.shape(lr.pix), jnp.shape(lr.samp),
                              jnp.shape(word))
     return _mix4(jnp.broadcast_to(lr.pix, n), jnp.broadcast_to(lr.samp, n),

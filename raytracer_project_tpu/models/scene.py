@@ -88,6 +88,9 @@ class SceneBuilder:
         from ..ops.volumes import VolumeTable
 
         vs = self._volumes
+        mats = np.asarray([v["mat"] for v in vs], np.int32)
+        tex_ids = np.asarray(self.materials.pack().texture_id)[mats]
+        textured = mats[tex_ids >= 0]
         return VolumeTable(
             kind=np.asarray([v["kind"] for v in vs], np.int32),
             center=np.asarray([v["center"] for v in vs], np.float32),
@@ -97,7 +100,10 @@ class SceneBuilder:
             neg_inv_density=np.asarray(
                 [-1.0 / v["density"] for v in vs], np.float32
             ),
-            mat=np.asarray([v["mat"] for v in vs], np.int32),
+            mat=mats,
+            # None unless some volume material is textured — a STATIC
+            # structural marker fused_supported can read under jit.
+            textured=textured if textured.size else None,
         )
 
     def build(self, with_bvh: bool = True) -> Scene:

@@ -36,10 +36,11 @@ Reference parity: the fused step covers the iterative ray_color loop
 and camera.hpp:784-794 ray generation, at reference constants.
 
 Scope (falls back to ops/wavefront.make_pool otherwise): full-frame
-renders (identity pixel ids) of brute-force-scan scenes (below the BVH
-crossover) without participating media — beauty, the albedo/normal/
-z-depth AOVs, the reflection/refraction split passes, and all three
-environment modes are covered.
+renders (identity pixel ids, or per-shard identity pixel windows) of
+scenes whose coefficient tables fit the VMEM budget — beauty, the
+albedo/normal/z-depth AOVs, the reflection/refraction split passes,
+solid-albedo participating media (fog), and all three environment modes
+are covered. Textured fog is the one remaining fallback.
 """
 
 from __future__ import annotations
@@ -190,15 +191,19 @@ def build_tables(scene, env, env_mode: int) -> FusedTables:
 _TOTAL_WORK_CAP = 1 << 24
 
 
-def fused_spp_chunk(scene, config, env=None) -> int:
+def fused_spp_chunk(scene, config, env=None,
+                    n_pixels_local: int | None = None) -> int:
     """Largest per-call spp the fused step can cover for this scene/config
     (0 = unsupported regardless of spp). render_pool uses this to
     sample-chunk big renders onto the fused engine: each chunk is
     bit-identical to the corresponding sample range of one big call
-    because lane RNG streams are (pixel, sample)-keyed."""
+    because lane RNG streams are (pixel, sample)-keyed. Under sharding
+    the cap applies to the shard's local pixel window, so shards admit
+    proportionally larger spp chunks."""
     if not fused_supported(scene, config, True, env, check_spp=False):
         return 0
-    return max(0, (_TOTAL_WORK_CAP - 1) // (2 * config.n_pixels))
+    n = n_pixels_local if n_pixels_local is not None else config.n_pixels
+    return max(0, (_TOTAL_WORK_CAP - 1) // (2 * n))
 
 
 def fused_supported(scene, config, identity_pixels: bool,
@@ -220,8 +225,16 @@ def fused_supported(scene, config, identity_pixels: bool,
     env_texels = 0
     if env is not None and config.env_mode == env_mod.HDR_MAP:
         env_texels = int(np.prod(env.hdr_image.shape[:2]))
+    # Fog is sampled in kernel B with the volume's albedo pre-resolved,
+    # which requires solid (untextured) phase materials — the only kind
+    # the builder creates by default (constant_medium fog,
+    # scene_management.hpp:227-234). Textured fog falls back to the pool.
+    # The marker is STRUCTURAL (None vs array) because this decision must
+    # be makeable on a traced scene inside jit.
+    volumes_ok = (scene.volumes is None
+                  or getattr(scene.volumes, "textured", None) is None)
     return (
-        scene.volumes is None
+        volumes_ok
         and identity_pixels
         and (not check_spp
              or config.n_pixels * config.samples_per_pixel * 2
@@ -515,7 +528,11 @@ _BP_CAM_V = 33     # 33:36 camera up
 _BP_CAM_W = 36     # 36:39 camera backward
 _BP_COLS = 40
 
-# i32 scalar inputs [1, 4]: [seed(u32 bits), next_work, sample_offset, -]
+# i32 scalar inputs [1, 4]: [seed(u32 bits), next_work, sample_offset,
+#   pixel_offset]. pixel_offset supports pixel-window rendering under
+# sharding: the kernel's static `n_pixels` is the LOCAL window size, lane
+# `li` stays the GLOBAL pixel id (RNG streams and camera decode are
+# shard-invariant), and accumulation targets are li - pixel_offset.
 # f32 scalar inputs [1, 2]: [segments, -]
 
 
@@ -622,11 +639,14 @@ def _shade_advance_kernel(
     n_pixels: int, width: int, total_work: int, max_depth: int,
     env_mode: int, spp: int, aux: int, z_max: float, aovs: tuple,
     want_spec: bool, use_reflection: bool, use_refraction: bool,
-    n_beauty: int,
+    n_beauty: int, n_volumes: int = 0,
 ):
     # Positional ref unpacking (pallas passes refs flat; the AOV/spec
     # ref counts vary with the static config).
     iscal_ref, fscal_ref, bparams_ref = refs[:3]
+    if n_volumes:
+        vparams_ref = refs[3]
+        refs = refs[:3] + refs[4:]
     rec_refs = refs[3:3 + _RO_ROWS]
     (texr_ref, texg_ref, texb_ref, gu_ref, gv_ref,
      envr_ref, envg_ref, envb_ref) = refs[3 + _RO_ROWS:11 + _RO_ROWS]
@@ -673,6 +693,7 @@ def _shade_advance_kernel(
     # (tpu.bitcast only accepts vectors).
     seed = iscal_ref[0, 0].astype(jnp.uint32)
     sample_offset = iscal_ref[0, 2]
+    poff = iscal_ref[0, 3]
 
     rec = tuple(r[:] for r in rec_refs)
     hit = rec[_RO_HIT] > 0.5
@@ -713,12 +734,86 @@ def _shade_advance_kernel(
     else:
         is_spec = jnp.zeros_like(live)
         spec_bit = jnp.uint32(0)
+    lr = rng.LaneRng(seed, li.astype(jnp.uint32), samp.astype(jnp.uint32),
+                     (bounce.astype(jnp.uint32) << jnp.uint32(1)) | spec_bit)
+
+    # --- participating media (volumes.sample_interaction in-kernel;
+    # constant_medium.hpp:39-77): per volume, boundary span clamped by
+    # the surface hit, exponential free flight, override the hit record
+    # with the volume's solid-albedo ISOTROPIC phase material. Same RNG
+    # stream/salt as the unfused pool, so per-sample values match. ---
+    if n_volumes:
+        best_vt = jnp.where(hit, t_hit, T_MAX)
+        vol_take = hit & False
+        valb = (jnp.zeros((b,), jnp.float32),) * 3
+        dd_v = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+        ray_len = jnp.sqrt(dd_v)
+        from ..core import vecmath as _vmv
+        for v in range(n_volumes):
+            vp_ = tuple(vparams_ref[v, j] for j in range(16))
+            kind, cx, cy, cz, radius = vp_[0], vp_[1], vp_[2], vp_[3], vp_[4]
+            bmin = vp_[5:8]
+            bmax = vp_[8:11]
+            nid = vp_[11]
+            alb = vp_[12:15]
+            oc = (cx - o[0], cy - o[1], cz - o[2])
+            h_v = d[0] * oc[0] + d[1] * oc[1] + d[2] * oc[2]
+            c_v = (oc[0] * oc[0] + oc[1] * oc[1] + oc[2] * oc[2]
+                   - radius * radius)
+            disc = h_v * h_v - dd_v * c_v
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            s_entry = (h_v - sq) / dd_v
+            s_exit = (h_v + sq) / dd_v
+            s_hit = (disc > 0.0) & (radius > 0.0)
+            inv = tuple(
+                1.0 / jnp.where(jnp.abs(d[k2]) < 1e-20,
+                                jnp.where(d[k2] < 0, -1e-20, 1e-20), d[k2])
+                for k2 in range(3))
+            t0v = tuple((bmin[k2] - o[k2]) * inv[k2] for k2 in range(3))
+            t1v = tuple((bmax[k2] - o[k2]) * inv[k2] for k2 in range(3))
+            b_entry = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0v[0], t1v[0]),
+                            jnp.minimum(t0v[1], t1v[1])),
+                jnp.minimum(t0v[2], t1v[2]))
+            b_exit = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0v[0], t1v[0]),
+                            jnp.maximum(t0v[1], t1v[1])),
+                jnp.maximum(t0v[2], t1v[2]))
+            is_sphere = kind < 0.5
+            entry = jnp.where(is_sphere, s_entry, b_entry)
+            exit_ = jnp.where(is_sphere, s_exit, b_exit)
+            # Boolean algebra, not where(): Mosaic cannot select i1
+            # vectors (arith.select on vector<i1> fails to legalize).
+            bhit = ((is_sphere & s_hit)
+                    | (~is_sphere & (b_entry < b_exit)))
+            e_v = jnp.maximum(entry, 1e-3)
+            x_v = jnp.minimum(exit_, best_vt)
+            valid = bhit & (e_v < x_v)
+            u_v = rng.draw_uniform(lr, rng.STREAM_VOLUME, salt=v + 1)
+            flight = nid * jnp.log(jnp.maximum(u_v, 1e-38))
+            scatters = valid & (flight <= (x_v - e_v) * ray_len)
+            t_v = e_v + flight / jnp.maximum(ray_len, 1e-20)
+            take = scatters & (t_v < best_vt)
+            best_vt = jnp.where(take, t_v, best_vt)
+            valb = tuple(jnp.where(take, alb[k2], valb[k2])
+                         for k2 in range(3))
+            vol_take = vol_take | take
+        hit = hit | vol_take
+        t_hit = jnp.where(vol_take, best_vt, t_hit)
+        mtype = jnp.where(vol_take, float(mat_mod.ISOTROPIC), mtype)
+        tex3 = tuple(jnp.where(vol_take, valb[k2], tex3[k2])
+                     for k2 in range(3))
+        one_b = jnp.ones((b,), jnp.float32)
+        zero_b = jnp.zeros((b,), jnp.float32)
+        # Reference's arbitrary volume-hit frame (constant_medium.hpp:72-73).
+        normal = (jnp.where(vol_take, one_b, normal[0]),
+                  jnp.where(vol_take, zero_b, normal[1]),
+                  jnp.where(vol_take, zero_b, normal[2]))
+        front = front | vol_take
+
     # Hit point recomputed exactly as the decoders' soa.axpy(t, d, o).
     t_safe = jnp.where(hit, t_hit, 1.0)
     hp = tuple(t_safe * d[k] + o[k] for k in range(3))
-
-    lr = rng.LaneRng(seed, li.astype(jnp.uint32), samp.astype(jnp.uint32),
-                     (bounce.astype(jnp.uint32) << jnp.uint32(1)) | spec_bit)
 
     # --- background (miss) color ---
     ud = soa.normalize(d)
@@ -838,7 +933,7 @@ def _shade_advance_kernel(
         is_aux = live & (bounce == 0) & (samp < aux)
         if want_spec:
             is_aux = is_aux & ~is_spec
-        tgtaux_ref[:] = jnp.where(is_aux, li, n_pixels)
+        tgtaux_ref[:] = jnp.where(is_aux, li - poff, n_pixels)
         ai = 0
         if "albedo" in aovs:
             one_a = jnp.ones((b,), jnp.float32)
@@ -868,7 +963,7 @@ def _shade_advance_kernel(
     # --- finished paths -> contribution outputs ---
     done = live & ~active
     done_beauty = done & ~is_spec if want_spec else done
-    tgt = jnp.where(done_beauty, li, n_pixels)
+    tgt = jnp.where(done_beauty, li - poff, n_pixels)
     cr, cg, cb = (jnp.where(done_beauty, rad[k], 0.0) for k in range(3))
     if want_spec:
         # Firefly clamp on the continuation color, then modulate by the
@@ -878,8 +973,8 @@ def _shade_advance_kernel(
         contrib = tuple(attn0[k] * rad[k] * fscale for k in range(3))
         d_refl = done & to_refl
         d_refr = done & to_refr
-        tgt_refl_ref[:] = jnp.where(d_refl, li, n_pixels)
-        tgt_refr_ref[:] = jnp.where(d_refr, li, n_pixels)
+        tgt_refl_ref[:] = jnp.where(d_refl, li - poff, n_pixels)
+        tgt_refr_ref[:] = jnp.where(d_refr, li - poff, n_pixels)
         for ref, k in ((srx_ref, 0), (sry_ref, 1), (srz_ref, 2)):
             ref[:] = jnp.where(d_refl, contrib[k], 0.0)
         for ref, k in ((sfx_ref, 0), (sfy_ref, 1), (sfz_ref, 2)):
@@ -908,7 +1003,7 @@ def _shade_advance_kernel(
     sr = jnp.where(sli < 0.0, sr - 1.0, jnp.where(sli >= n_pixels,
                                                   sr + 1.0, sr))
     sli = wf - sr * n_pixels
-    new_li = sli.astype(jnp.int32)
+    new_li = sli.astype(jnp.int32) + poff     # global pixel id
     new_samp = sample_offset + sr.astype(jnp.int32)
     # Camera draws always use ctx 0: a spec path re-traces the SAME
     # camera ray as its beauty path (camera.hpp:455,492).
@@ -967,7 +1062,7 @@ def shade_advance(tables: FusedTables, iscal, fscal, bparams, rec,
                   env_mode: int, spp: int, aux: int, z_max: float,
                   aovs: tuple, want_spec: bool = False,
                   use_reflection: bool = False, use_refraction: bool = False,
-                  n_beauty: int = 0, interpret=False):
+                  n_beauty: int = 0, vparams=None, interpret=False):
     """Kernel-B wrapper.
 
     rec: tuple of _RO_ROWS flat [P] vectors (trace_decode output).
@@ -983,12 +1078,13 @@ def shade_advance(tables: FusedTables, iscal, fscal, bparams, rec,
                         memory_space=pltpu.VMEM)
     scal = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                       memory_space=pltpu.SMEM)
+    n_volumes = 0 if vparams is None else int(vparams.shape[0])
     kernel = functools.partial(
         _shade_advance_kernel, n_pixels=n_pixels, width=width,
         total_work=total_work, max_depth=max_depth, env_mode=env_mode,
         spp=spp, aux=aux, z_max=z_max, aovs=aovs, want_spec=want_spec,
         use_reflection=use_reflection, use_refraction=use_refraction,
-        n_beauty=n_beauty,
+        n_beauty=n_beauty, n_volumes=n_volumes,
     )
     lane_f = jax.ShapeDtypeStruct((p_lanes,), jnp.float32)
     lane_i = jax.ShapeDtypeStruct((p_lanes,), jnp.int32)
@@ -1001,6 +1097,7 @@ def shade_advance(tables: FusedTables, iscal, fscal, bparams, rec,
         grid=grid,
         in_specs=[
             scal((1, 4)), scal((1, 2)), scal((1, _BP_COLS)),
+        ] + ([scal((n_volumes, 16))] if n_volumes else []) + [
         ] + [lane] * _RO_ROWS + [
             lane, lane, lane,            # tex r/g/b
             lane, lane,                  # bump gu/gv
@@ -1026,7 +1123,9 @@ def shade_advance(tables: FusedTables, iscal, fscal, bparams, rec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(iscal, fscal, bparams, *rec, *tex3, *bump2, *env3, *state_cols)
+    )(iscal, fscal, bparams,
+      *(() if vparams is None else (vparams,)),
+      *rec, *tex3, *bump2, *env3, *state_cols)
     return out
 
 
@@ -1060,15 +1159,25 @@ class FusedPoolState(NamedTuple):
 
 
 def make_pool_fused(scene, cam, env, key, config, sample_offset=0,
-                    pool_lanes=None, interpret: bool = False):
+                    pool_lanes=None, interpret: bool = False,
+                    pixel_offset=0, n_pixels_local: int | None = None):
     """Fused twin of wavefront.make_pool for the v1-supported config set.
 
     Returns (state0, cond, body) whose per-sample radiance is identical to
     the unfused pool (same RNG contexts, constants, and update order).
+
+    pixel_offset / n_pixels_local render the pixel WINDOW
+    [pixel_offset, pixel_offset + n_pixels_local) — the sharded path's
+    per-shard slice (parallel/render.py). n_pixels_local must be static;
+    pixel_offset may be traced (e.g. axis_index * n_local inside
+    shard_map). Lane pixel ids stay GLOBAL so RNG streams and camera
+    decode are shard-invariant; the accumulator is local-window-sized.
+    Windows past config.n_pixels (shard padding) trace phantom rays whose
+    results the caller drops on unpad.
     """
     from ..models import camera as camera_mod
 
-    n = config.n_pixels
+    n = n_pixels_local if n_pixels_local is not None else config.n_pixels
     spp = config.samples_per_pixel
     want_spec = config.use_reflection or config.use_refraction
     n_beauty = n * spp
@@ -1081,6 +1190,7 @@ def make_pool_fused(scene, cam, env, key, config, sample_offset=0,
     p = max(B_BLOCK, -(-p // B_BLOCK) * B_BLOCK)
     seed = rng.seed_from_key(key)
     sample_offset = jnp.asarray(sample_offset, jnp.int32)
+    poff_i32 = jnp.asarray(pixel_offset, jnp.int32)
     env_mode = config.env_mode
 
     aovs = tuple(
@@ -1114,13 +1224,30 @@ def make_pool_fused(scene, cam, env, key, config, sample_offset=0,
         jnp.zeros((1,), jnp.float32),
     ]).reshape(1, _BP_COLS)
 
+    # Volume params for kernel B (solid-albedo fog; see fused_supported):
+    # [kind, center xyz, radius, bmin xyz, bmax xyz, neg_inv_density,
+    #  albedo rgb, pad] per volume.
+    vparams = None
+    if scene.volumes is not None and scene.volumes.count:
+        vol = scene.volumes
+        vparams = jnp.concatenate([
+            vol.kind.astype(jnp.float32)[:, None],
+            jnp.asarray(vol.center, jnp.float32),
+            vol.radius[:, None],
+            jnp.asarray(vol.box_min, jnp.float32),
+            jnp.asarray(vol.box_max, jnp.float32),
+            vol.neg_inv_density[:, None],
+            scene.materials.albedo[vol.mat],
+            jnp.zeros((vol.count, 1), jnp.float32),
+        ], axis=1)
+
     # --- initial fill (same decode as kernel B's respawn) ---
     w0 = jnp.arange(p, dtype=jnp.int32)
     wc = jnp.minimum(w0, total_work - 1)
     spec0 = wc >= n_beauty
     wc = jnp.where(spec0, wc - n_beauty, wc)
     samp_rel = wc // n
-    li0 = wc - samp_rel * n
+    li0 = (wc - samp_rel * n) + poff_i32      # global pixel id
     samp0 = sample_offset + samp_rel
     lr0 = rng.LaneRng(seed, li0.astype(jnp.uint32), samp0.astype(jnp.uint32),
                       jnp.uint32(0))
@@ -1182,7 +1309,7 @@ def make_pool_fused(scene, cam, env, key, config, sample_offset=0,
         iscal = jnp.concatenate([
             seed.astype(jnp.int32)[None],  # modular, bit-preserving
             s.next_work[0, 0][None],
-            sample_offset[None], jnp.zeros((1,), jnp.int32),
+            sample_offset[None], poff_i32[None],
         ]).reshape(1, 4)
         fscal = jnp.concatenate([
             s.segments[0, 0][None], jnp.zeros((1,), jnp.float32),
@@ -1198,7 +1325,7 @@ def make_pool_fused(scene, cam, env, key, config, sample_offset=0,
             aovs=aovs, want_spec=want_spec,
             use_reflection=config.use_reflection,
             use_refraction=config.use_refraction, n_beauty=n_beauty,
-            interpret=interpret,
+            vparams=vparams, interpret=interpret,
         )
         (n_ox, n_oy, n_oz, n_dx, n_dy, n_dz, n_thx, n_thy, n_thz,
          n_rdx, n_rdy, n_rdz, n_live, n_bounce, n_samp, n_li,
@@ -1256,14 +1383,19 @@ def make_pool_fused(scene, cam, env, key, config, sample_offset=0,
 
 def render_pool_fused(scene, cam, env, key, config, sample_offset=0,
                       pool_lanes=None, with_stats: bool = False,
-                      interpret: bool = False):
-    """Fused drop-in for wavefront.render_pool (beauty-only contract)."""
+                      interpret: bool = False, pixel_offset=0,
+                      n_pixels_local: int | None = None):
+    """Fused drop-in for wavefront.render_pool (beauty-only contract).
+
+    pixel_offset / n_pixels_local select a pixel window (sharded path);
+    see make_pool_fused. Buffers come back window-sized."""
     from .integrator import SampleBuffers
 
-    n = config.n_pixels
+    n = n_pixels_local if n_pixels_local is not None else config.n_pixels
     state0, cond, body = make_pool_fused(
         scene, cam, env, key, config, sample_offset, pool_lanes,
-        interpret=interpret,
+        interpret=interpret, pixel_offset=pixel_offset,
+        n_pixels_local=n_pixels_local,
     )
     aovs = tuple(
         name for name, on in (("albedo", config.use_albedo),

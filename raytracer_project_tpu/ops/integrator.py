@@ -339,7 +339,8 @@ _TARGET_LANES = 400_000
 
 def accumulate_samples(scene: Scene, cam: camera_mod.Camera, env, key,
                        config: RenderConfig, pixel_ids,
-                       sample_offset=0, with_stats: bool = False):
+                       sample_offset=0, with_stats: bool = False,
+                       pixel_offset=0, n_pixels_local: int | None = None):
     """Sum `samples_per_pixel` sample passes for the given pixels.
 
     Samples are fused into wavefront batches of (pixel, sample) lanes —
@@ -354,7 +355,10 @@ def accumulate_samples(scene: Scene, cam: camera_mod.Camera, env, key,
 
     pixel_ids=None statically means the identity full frame (see
     wavefront.render_pool) — the form jitted callers must use for the
-    fused fast path to be reachable.
+    fused fast path to be reachable. With n_pixels_local it means the
+    identity pixel WINDOW [pixel_offset, pixel_offset + n_pixels_local)
+    (clamped to the frame) — the sharded path's per-shard slice;
+    pixel_offset may be traced (axis_index inside shard_map).
     """
     if config.wavefront and not config.differentiable:
         from . import wavefront
@@ -362,9 +366,17 @@ def accumulate_samples(scene: Scene, cam: camera_mod.Camera, env, key,
         return wavefront.render_pool(
             scene, cam, env, key, config, pixel_ids, sample_offset,
             pool_lanes=config.pool_lanes, with_stats=with_stats,
+            pixel_offset=pixel_offset, n_pixels_local=n_pixels_local,
         )
     if pixel_ids is None:
-        pixel_ids = np.arange(config.n_pixels, dtype=np.int32)
+        if n_pixels_local is not None:
+            pixel_ids = jnp.minimum(
+                jnp.asarray(pixel_offset, jnp.int32)
+                + jnp.arange(n_pixels_local, dtype=jnp.int32),
+                config.n_pixels - 1,
+            )
+        else:
+            pixel_ids = np.arange(config.n_pixels, dtype=np.int32)
     spp = config.samples_per_pixel
     aux = min(config.aux_samples, spp)
     n = pixel_ids.shape[0]

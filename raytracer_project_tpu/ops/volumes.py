@@ -15,7 +15,7 @@ per-lane counter-based RNG. The phase function is an ISOTROPIC material row
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +46,13 @@ class VolumeTable(NamedTuple):
     box_max: jax.Array
     neg_inv_density: jax.Array
     mat: jax.Array
+    # STRUCTURAL static marker (None vs array — pytree structure survives
+    # jit, array values do not): None means every volume's phase material
+    # has a solid (untextured) albedo, the precondition for the fused
+    # engine's in-kernel media sampling (fused_step.fused_supported must
+    # decide this on a TRACED scene). When any volume material is
+    # textured, the builder stores their material ids here.
+    textured: Any = None
 
     @property
     def count(self) -> int:

@@ -472,7 +472,8 @@ def make_pool(scene: Scene, cam: camera_mod.Camera, env, key,
 
 def render_pool(scene: Scene, cam: camera_mod.Camera, env, key,
                 config: RenderConfig, pixel_ids, sample_offset=0,
-                pool_lanes: int | None = None, with_stats: bool = False):
+                pool_lanes: int | None = None, with_stats: bool = False,
+                pixel_offset=0, n_pixels_local: int | None = None):
     """Pooled-wavefront accumulation: drop-in for accumulate_samples.
 
     Returns per-pixel *sums* over `config.samples_per_pixel` samples, same
@@ -506,9 +507,10 @@ def render_pool(scene: Scene, cam: camera_mod.Camera, env, key,
     from . import fused_step
 
     if pixel_ids is None:
-        pixel_ids = np.arange(config.n_pixels, dtype=np.int32)
         identity_pixels = True
     else:
+        assert n_pixels_local is None, \
+            "pixel window mode requires pixel_ids=None"
         n = pixel_ids.shape[0]
         identity_pixels = (
             isinstance(pixel_ids, np.ndarray)
@@ -520,11 +522,14 @@ def render_pool(scene: Scene, cam: camera_mod.Camera, env, key,
     if (not no_fused and jax.default_backend() == "tpu"
             and identity_pixels):
         spp = config.samples_per_pixel
-        chunk = fused_step.fused_spp_chunk(scene, config, env)
+        chunk = fused_step.fused_spp_chunk(
+            scene, config, env, n_pixels_local=n_pixels_local)
+        fused_kw = dict(pixel_offset=pixel_offset,
+                        n_pixels_local=n_pixels_local)
         if chunk >= spp:
             return fused_step.render_pool_fused(
                 scene, cam, env, key, config, sample_offset, pool_lanes,
-                with_stats=with_stats,
+                with_stats=with_stats, **fused_kw,
             )
         if chunk > 0:
             # Sample-chunked fused accumulation: each chunk renders a spp
@@ -541,7 +546,7 @@ def render_pool(scene: Scene, cam: camera_mod.Camera, env, key,
                     config, samples_per_pixel=min(chunk, spp - off))
                 res = fused_step.render_pool_fused(
                     scene, cam, env, key, cfg_c, sample_offset + off,
-                    pool_lanes, with_stats=with_stats)
+                    pool_lanes, with_stats=with_stats, **fused_kw)
                 if with_stats:
                     res, st = res
                     segments = segments + st["segments"]
@@ -551,6 +556,18 @@ def render_pool(scene: Scene, cam: camera_mod.Camera, env, key,
             if with_stats:
                 return out, {"segments": segments, "steps": steps}
             return out
+    if pixel_ids is None:
+        if n_pixels_local is None:
+            pixel_ids = np.arange(config.n_pixels, dtype=np.int32)
+        else:
+            # Unfused window fallback: clamped identity slice — same
+            # padding semantics as parallel.render._padded_pixel_ids
+            # (trailing lanes re-render pixel n-1, dropped on unpad).
+            pixel_ids = jnp.minimum(
+                jnp.asarray(pixel_offset, jnp.int32)
+                + jnp.arange(n_pixels_local, dtype=jnp.int32),
+                config.n_pixels - 1,
+            )
 
     state, cond, body = make_pool(
         scene, cam, env, key, config, pixel_ids, sample_offset, pool_lanes

@@ -41,41 +41,26 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.asarray(devs), axis_names=(TILE_AXIS,))
 
 
-def _padded_pixel_ids(n_pixels: int, n_shards: int) -> jnp.ndarray:
+def _padded_pixel_ids(n_pixels: int, n_shards: int) -> np.ndarray:
     """Global pixel ids padded to a multiple of the shard count.
 
     Padding lanes re-render pixel (n-1); their results are dropped on
-    unpad. Wasted lanes <= n_shards - 1.
+    unpad. Wasted lanes <= n_shards - 1. Returned as HOST numpy so
+    sharded_accumulate can prove the clamped-identity pattern at trace
+    time and take the fused identity-window fast path.
     """
     padded = -(-n_pixels // n_shards) * n_shards
-    ids = jnp.minimum(jnp.arange(padded, dtype=jnp.int32), n_pixels - 1)
-    return ids
+    return np.minimum(np.arange(padded, dtype=np.int32), n_pixels - 1)
 
 
 def render_sharded(scene, cam, env, key, config: integrator.RenderConfig,
                    mesh: Mesh) -> dict:
     """Full render with pixels sharded across `mesh`; returns [H, W, 3]
     buffer dict identical to integrator.render()."""
-    n_shards = mesh.devices.size
     n = config.n_pixels
-    ids = _padded_pixel_ids(n, n_shards)
-
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(TILE_AXIS)),
-        out_specs=P(TILE_AXIS),
-        # The integrator creates fresh while_loop carries (zeros/ones) that
-        # the varying-manual-axes analysis flags against varying bodies;
-        # functionally every lane is independent, so skip the check.
-        check_vma=False,
-    )
-    def shard_fn(scene_, cam_, env_, key_, ids_local):
-        return integrator.accumulate_samples(
-            scene_, cam_, env_, key_, config, ids_local
-        )
-
-    acc = shard_fn(scene, cam, env, key, ids)
+    ids = _padded_pixel_ids(n, mesh.devices.size)
+    acc = sharded_accumulate(scene, cam, env, key, config, ids, 0,
+                             mesh=mesh)
     acc = jax.tree.map(lambda x: x[:n], acc)
     return integrator.finalize_buffers(acc, config)
 
@@ -98,14 +83,63 @@ def sharded_accumulate(scene, cam, env, key, config: integrator.RenderConfig,
     product-surface step function RenderSession uses when given a mesh —
     the counterpart of the reference's render-thread row fan-out
     (/root/reference/main.cpp:1520-1531, camera.hpp:556-573).
+
+    When ids_padded is a host array with the clamped-identity pattern
+    (what _padded_pixel_ids builds), each shard renders its slice as an
+    identity pixel WINDOW (pixel_offset = shard * n_local), which is the
+    precondition for the fused two-kernel engine — so multi-chip renders
+    ride the fast path too. Arbitrary id arrays take the legacy
+    gather-based pool.
     """
+    n_shards = mesh.devices.size
+    n = config.n_pixels
+    ids_np = (np.asarray(ids_padded)
+              if not isinstance(ids_padded, jax.Array) else None)
+    identity_window = (
+        ids_np is not None
+        and ids_np.shape[0] % n_shards == 0
+        and bool(np.array_equal(
+            ids_np, np.minimum(np.arange(ids_np.shape[0]), n - 1)))
+    )
+
+    def _stats_reduce(out):
+        buf, stats = out
+        segments = stats.get("segments")
+        return buf, {
+            "segments": (jax.lax.psum(segments, TILE_AXIS)
+                         if segments is not None else jnp.zeros(())),
+            "steps": jax.lax.pmax(
+                jnp.asarray(stats["steps"], jnp.int32), TILE_AXIS),
+        }
+
+    out_specs = ((P(TILE_AXIS), {"segments": P(), "steps": P()})
+                 if with_stats else P(TILE_AXIS))
+
+    if identity_window:
+        n_local = ids_np.shape[0] // n_shards
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P()),
+            out_specs=out_specs, check_vma=False,
+        )
+        def shard_fn_window(scene_, cam_, env_, key_, off_):
+            poff = jax.lax.axis_index(TILE_AXIS).astype(jnp.int32) * n_local
+            out = integrator.accumulate_samples(
+                scene_, cam_, env_, key_, config, None, off_,
+                with_stats=with_stats, pixel_offset=poff,
+                n_pixels_local=n_local,
+            )
+            return _stats_reduce(out) if with_stats else out
+
+        return shard_fn_window(scene, cam, env, key,
+                               jnp.asarray(sample_offset, jnp.int32))
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(TILE_AXIS), P()),
-        out_specs=((P(TILE_AXIS), {"segments": P(), "steps": P()})
-                   if with_stats else P(TILE_AXIS)),
+        out_specs=out_specs,
         check_vma=False,
     )
     def shard_fn(scene_, cam_, env_, key_, ids_local, off_):
@@ -113,19 +147,9 @@ def sharded_accumulate(scene, cam, env, key, config: integrator.RenderConfig,
             scene_, cam_, env_, key_, config, ids_local, off_,
             with_stats=with_stats,
         )
-        if not with_stats:
-            return out
-        buf, stats = out
-        segments = stats.get("segments")
-        stats = {
-            "segments": (jax.lax.psum(segments, TILE_AXIS)
-                         if segments is not None else jnp.zeros(())),
-            "steps": jax.lax.pmax(
-                jnp.asarray(stats["steps"], jnp.int32), TILE_AXIS),
-        }
-        return buf, stats
+        return _stats_reduce(out) if with_stats else out
 
-    return shard_fn(scene, cam, env, key, ids_padded,
+    return shard_fn(scene, cam, env, key, jnp.asarray(ids_padded),
                     jnp.asarray(sample_offset, jnp.int32))
 
 

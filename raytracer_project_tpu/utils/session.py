@@ -96,11 +96,19 @@ class RenderSession:
             self._ids = prender._padded_pixel_ids(
                 config.n_pixels, mesh.devices.size)
             self._n_pad = int(self._ids.shape[0])
-            self._step_fn = jax.jit(
-                functools.partial(prender.sharded_accumulate, mesh=mesh,
-                                  with_stats=True),
-                static_argnames=("config",),
+            # ids ride the CLOSURE (host numpy), not the jit arguments:
+            # as a traced argument the clamped-identity pattern could not
+            # be proven at trace time and every step would fall off the
+            # fused identity-window fast path (advisor r4).
+            ids_np = self._ids
+            base = jax.jit(
+                lambda sc, ca, en, k, cfg, off: prender.sharded_accumulate(
+                    sc, ca, en, k, cfg, ids_np, off, mesh=mesh,
+                    with_stats=True),
+                static_argnames=("cfg",),
             )
+            self._step_fn = lambda sc, ca, en, k, cfg, ids, off: base(
+                sc, ca, en, k, cfg, off)
         else:
             # Single-device sessions render the identity full frame:
             # pixel_ids=None asserts that STATICALLY through jit, so the

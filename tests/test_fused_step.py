@@ -113,13 +113,13 @@ def test_fused_supported_gates(scene):
         env_mode=env_mod.PHYSICAL_SUN, use_albedo=False, use_normal=False,
         use_z_depth=False, use_reflection=True, wavefront=True)
     assert fused_step.fused_supported(scene, cfg_spec, True)
-    # Participating media still fall back to the unfused pool.
+    # Solid-albedo fog is fused-covered (kernel-B media sampling).
     bf = SceneBuilder()
     m = bf.materials.lambertian("g", (0.5, 0.5, 0.5))
     bf.geometry.add_sphere((0.0, 0.0, 0.0), 1.0, m)
     bf.add_fog_sphere((0, 0, 0), 5.0, 0.1, (0.8, 0.8, 0.8))
     fog_scene = bf.build(with_bvh=False)
-    assert not fused_step.fused_supported(fog_scene, cfg, True)
+    assert fused_step.fused_supported(fog_scene, cfg, True)
 
 
 def test_fused_aov_buffers(scene, key):
@@ -207,3 +207,102 @@ def test_fused_spp_chunk_values(scene):
         use_z_depth=False, wavefront=True)
     chunk_hd = fused_step.fused_spp_chunk(scene, cfg_hd)
     assert 0 < chunk_hd < 1024
+
+
+def test_fused_window_sharded_invariance(scene, key):
+    """The fused engine inside shard_map over per-shard pixel WINDOWS
+    (pixel_offset = shard * n_local) matches the 1-device fused render on
+    the unpadded region — VERDICT r4 item 4: the fast engine must be
+    reachable under sharding. Interpret mode on the virtual CPU mesh."""
+    import functools
+
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    cfg = _cfg(env_mod.PHYSICAL_SUN, w=40, h=25, spp=2)  # n=1000: pads
+    cam = _cam(cfg.width, cfg.height)
+    env = env_mod.make_environment(sun_direction=(0.3, 0.8, 0.2),
+                                   sun_intensity=4.0)
+    one = fused_step.render_pool_fused(scene, cam, env, key, cfg,
+                                       interpret=True)
+
+    n_dev = 8
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), axis_names=("tiles",))
+    n = cfg.n_pixels
+    n_local = -(-n // n_dev)
+    padded = n_local * n_dev
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P(), P(), P(), P()),
+        out_specs=P("tiles"), check_vma=False,
+    )
+    def shard_fn(scene_, cam_, env_, key_):
+        poff = jax.lax.axis_index("tiles").astype(jnp.int32) * n_local
+        return fused_step.render_pool_fused(
+            scene_, cam_, env_, key_, cfg, interpret=True,
+            pixel_offset=poff, n_pixels_local=n_local)
+
+    sharded = shard_fn(scene, cam, env, key)
+    assert sharded.beauty.shape[0] == padded
+    np.testing.assert_allclose(np.asarray(sharded.beauty)[:n],
+                               np.asarray(one.beauty), rtol=2e-5, atol=2e-5)
+
+
+def test_sharded_accumulate_identity_window(scene, key):
+    """parallel.render.sharded_accumulate recognizes the clamped-identity
+    id pattern and produces the same sums as the unsharded pool (the
+    shard path that now feeds the fused engine on TPU)."""
+    from raytracer_project_tpu.parallel import render as prender
+
+    cfg = _cfg(env_mod.PHYSICAL_SUN, w=40, h=25, spp=2)
+    cam = _cam(cfg.width, cfg.height)
+    env = env_mod.make_environment(sun_direction=(0.3, 0.8, 0.2),
+                                   sun_intensity=4.0)
+    mesh = prender.make_mesh(8)
+    ids = prender._padded_pixel_ids(cfg.n_pixels, 8)
+    assert not isinstance(ids, jax.Array)  # host-known -> window path
+    out, stats = prender.sharded_accumulate(
+        scene, cam, env, key, cfg, ids, 0, mesh=mesh, with_stats=True)
+    ref = wavefront.render_pool(scene, cam, env, key, cfg, None)
+    np.testing.assert_allclose(
+        np.asarray(out.beauty)[:cfg.n_pixels], np.asarray(ref.beauty),
+        rtol=2e-5, atol=2e-5)
+    assert float(stats["segments"]) > 0
+
+
+def test_fused_fog_matches_pool(scene, key):
+    """Solid-albedo fog through the fused step (kernel-B media sampling)
+    matches the unfused pool — VERDICT r4 item 5. Chaos-tolerant bound:
+    the free-flight draw makes per-lane paths sensitive, so compare with
+    the same outlier budget as the AOV test."""
+    import dataclasses
+
+    from raytracer_project_tpu.models.scene import SceneBuilder
+
+    bf = SceneBuilder()
+    ground = bf.materials.lambertian("ground", (0.5, 0.6, 0.5))
+    lamp = bf.materials.diffuse_light("lamp", (5.0, 4.0, 3.0))
+    glass = bf.materials.dielectric("glass", 1.5)
+    bf.geometry.add_sphere((0.0, -100.5, 0.0), 100.0, ground)
+    bf.geometry.add_sphere((0.0, 0.5, 0.0), 0.5, glass)
+    bf.geometry.add_sphere((0.0, 2.2, -0.5), 0.6, lamp)
+    bf.geometry.add_box((-2.0, 0.0, -1.5), (-1.2, 0.9, -0.7), ground)
+    bf.add_fog_sphere((0.0, 0.5, 0.0), 4.0, 0.15, (0.85, 0.9, 0.95))
+    bf.add_fog_box((1.0, 0.0, -1.0), (2.0, 1.2, 0.2), 0.4, (0.9, 0.6, 0.5))
+    fog_scene = bf.build(with_bvh=False)
+
+    cfg = _cfg(env_mod.PHYSICAL_SUN, w=48, h=27, spp=4)
+    cam = _cam(cfg.width, cfg.height)
+    env = env_mod.make_environment(sun_direction=(0.3, 0.8, 0.2),
+                                   sun_intensity=4.0)
+    assert fused_step.fused_supported(fog_scene, cfg, True)
+    import os
+    os.environ["RAYTRACER_TPU_NO_FUSED"] = "1"
+    try:
+        ref = wavefront.render_pool(fog_scene, cam, env, key, cfg, None)
+    finally:
+        del os.environ["RAYTRACER_TPU_NO_FUSED"]
+    out = fused_step.render_pool_fused(fog_scene, cam, env, key, cfg,
+                                       interpret=True)
+    d = np.abs(np.asarray(out.beauty) - np.asarray(ref.beauty))
+    assert d.mean() < 1e-3, f"fog beauty mean {d.mean()}"
+    assert (d > 3e-3).mean() < 0.005, "fog beauty outliers"

@@ -171,6 +171,43 @@ def main():
                 jax.default_backend() != "tpu"):
             engine = "unfused"
 
+    # --- north-star configuration datapoint (BASELINE.md: 1080p @ 1k spp)
+    # 1920x1080 rides the fused engine via spp chunks (the 2^24 work-id
+    # cap admits 4 spp per chunk at 2.07M pixels — exercised here).
+    # Measured at BENCH_1080P_SPP (default 32; 1024 would take ~12 min on
+    # one v5e chip) with the wall for the full 1k spp projected from the
+    # measured segment rate.
+    hd = None
+    if not os.environ.get("BENCH_SKIP_1080P"):
+        import dataclasses
+
+        hd_spp = int(os.environ.get("BENCH_1080P_SPP", 32))
+        hd_cfg = dataclasses.replace(cfg, width=1920, height=1080,
+                                     samples_per_pixel=hd_spp)
+        hd_cam = cam_mod.make_camera(
+            image_width=1920, image_height=1080, vfov=30.0,
+            lookfrom=(12.0, 2.5, 6.0), lookat=(0.0, 1.0, 0.0),
+            defocus_angle=0.0, focus_dist=10.0,
+        )
+        out_hd, st_hd = render(scene, hd_cam, env, key, hd_cfg,
+                               with_stats=True)
+        np.asarray(out_hd["beauty"])  # force materialization (compile)
+        t0 = time.perf_counter()
+        out_hd, st_hd = render(scene, hd_cam, env, jax.random.PRNGKey(3),
+                               hd_cfg, with_stats=True)
+        np.asarray(out_hd["beauty"])
+        hd_dt = time.perf_counter() - t0
+        hd_seg = (float(st_hd["segments"])
+                  if st_hd.get("segments") is not None else None)
+        hd_measured = (hd_seg / hd_dt) if hd_seg else None
+        hd = {
+            "width": 1920, "height": 1080, "spp": hd_spp,
+            "wall_s": hd_dt,
+            "rays_per_s_measured": hd_measured,
+            "segments_traced": hd_seg,
+            "projected_wall_s_at_1024spp": (hd_dt * 1024 / hd_spp),
+        }
+
     print(json.dumps({
         "metric": "rays_per_second_showcase",
         "value": rays_per_s,
@@ -188,6 +225,7 @@ def main():
             "segments_traced": segments,
             "pool_steps": (int(stats["steps"])
                            if stats.get("steps") is not None else None),
+            "north_star_1080p": hd,
         },
     }))
 

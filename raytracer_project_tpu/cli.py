@@ -66,6 +66,23 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="render one debug chunk under checkify NaN/Inf "
                         "traps before the real render (slow; small frames)")
 
+    i = sub.add_parser(
+        "interactive",
+        help="adjust-while-rendering control loop (type `help` at the "
+             "prompt; the reference's ImGui panel as a command channel)")
+    i.add_argument("--preset", default="showcase",
+                   choices=["showcase", "shirley", "cornell"])
+    i.add_argument("--scene-file", default=None,
+                   help="JSON scene; watched for edits between chunks")
+    i.add_argument("--width", type=int, default=400)
+    i.add_argument("--height", type=int, default=225)
+    i.add_argument("--spp", type=int, default=30,
+                   help="progressive target (camera.hpp:27 default)")
+    i.add_argument("--chunk", type=int, default=2)
+    i.add_argument("--seed", type=int, default=0)
+    i.add_argument("--watch", default="output/preview.png", metavar="PNG",
+                   help="live preview PNG (0.15 s cadence, main.cpp:1556)")
+
     b = sub.add_parser("bench", help="run the standard benchmark")
     b.add_argument("--spp", type=int, default=32)
 
@@ -255,10 +272,56 @@ def _cmd_info() -> int:
     return 0
 
 
+def _cmd_interactive(args) -> int:
+    import jax
+
+    from .models import camera as cam_mod  # noqa: F401 (env setup parity)
+    from .models import environment as env_mod
+    from .models import presets, sceneio
+    from .ops import integrator
+    from .utils import applog
+    from .utils.interactive import InteractiveLoop
+
+    log = applog.AppLog(echo=True)
+    camera_params = dict(vfov=30.0, lookfrom=(12.0, 2.5, 6.0),
+                         lookat=(0.0, 1.0, 0.0), defocus_angle=0.0,
+                         focus_dist=10.0)
+    if args.scene_file:
+        scene, cam, env, config = sceneio.load_scene_file(args.scene_file)
+    else:
+        if args.preset == "showcase":
+            scene = presets.showcase_scene()
+        elif args.preset == "shirley":
+            scene = presets.shirley_final_scene()
+            camera_params.update(vfov=20.0, lookfrom=(13.0, 2.0, 3.0),
+                                 lookat=(0.0, 0.0, 0.0))
+        else:
+            scene = presets.cornell_box_scene()
+            camera_params.update(vfov=40.0,
+                                 lookfrom=(278.0, 278.0, -800.0),
+                                 lookat=(278.0, 278.0, 0.0))
+        env = env_mod.make_environment()
+        config = integrator.RenderConfig(env_mode=env_mod.PHYSICAL_SUN)
+    config = dataclasses.replace(config, width=args.width,
+                                 height=args.height,
+                                 samples_per_pixel=args.spp)
+    loop = InteractiveLoop(
+        scene, env, config, camera_params, log=log,
+        key=jax.random.PRNGKey(args.seed), chunk_samples=args.chunk,
+        scene_file=args.scene_file, watch_png=args.watch,
+    )
+    print(f"interactive: preview -> {args.watch}; type `help`",
+          file=sys.stderr)
+    loop.run()
+    return 0
+
+
 def main(argv=None) -> int:
     args = _build_parser().parse_args(argv)
     if args.command == "render":
         return _cmd_render(args)
+    if args.command == "interactive":
+        return _cmd_interactive(args)
     if args.command == "bench":
         return _cmd_bench(args)
     return _cmd_info()

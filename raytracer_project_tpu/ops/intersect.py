@@ -215,6 +215,34 @@ def _chunk_bounds(pmin, pmax, n_chunks, width=MM_FINE):
     return out
 
 
+def tri_coeff_block(v0, e1, e2):
+    """Möller-Trumbore coefficient columns for a triangle block:
+    f32[16, 4, k]. Per-triangle independent, so incremental instance
+    updates (models/instances.py) recompute only a moved instance's
+    slice of the global table."""
+    import numpy as np
+
+    F = RAY_FEATURE_DIM
+    v0 = np.asarray(v0, np.float64)
+    e1 = np.asarray(e1, np.float64)
+    e2 = np.asarray(e2, np.float64)
+    k = v0.shape[0]
+    tc = np.zeros((F, 4, k), np.float32)
+    n_geo = np.cross(e1, e2)
+    # det = -d.n_geo
+    tc[0:3, 0, :] = -n_geo.T
+    # u_num = (o x d).e2 - d.(e2 x v0)
+    tc[6:9, 1, :] = e2.T
+    tc[0:3, 1, :] = -np.cross(e2, v0).T
+    # v_num = -(o x d).e1 - d.(v0 x e1)
+    tc[6:9, 2, :] = -e1.T
+    tc[0:3, 2, :] = -np.cross(v0, e1).T
+    # t_num = o.n_geo - v0.n_geo
+    tc[3:6, 3, :] = n_geo.T
+    tc[11, 3, :] = -(v0 * n_geo).sum(-1)
+    return tc
+
+
 def build_mm_tables(spheres, triangles, boxes=None) -> MMTables:
     """Assemble the coefficient matrices (host-side numpy)."""
     import numpy as np
@@ -247,21 +275,8 @@ def build_mm_tables(spheres, triangles, boxes=None) -> MMTables:
 
     tc = np.zeros((F, 4, ct_pad), np.float32)
     if ct:
-        v0 = np.asarray(triangles.v0, np.float64)
-        e1 = np.asarray(triangles.e1, np.float64)
-        e2 = np.asarray(triangles.e2, np.float64)
-        n_geo = np.cross(e1, e2)
-        # det = -d.n_geo
-        tc[0:3, 0, :ct] = -n_geo.T
-        # u_num = (o x d).e2 - d.(e2 x v0)
-        tc[6:9, 1, :ct] = e2.T
-        tc[0:3, 1, :ct] = -np.cross(e2, v0).T
-        # v_num = -(o x d).e1 - d.(v0 x e1)
-        tc[6:9, 2, :ct] = -e1.T
-        tc[0:3, 2, :ct] = -np.cross(v0, e1).T
-        # t_num = o.n_geo - v0.n_geo
-        tc[3:6, 3, :ct] = n_geo.T
-        tc[11, 3, :ct] = -(v0 * n_geo).sum(-1)
+        tc[:, :, :ct] = tri_coeff_block(triangles.v0, triangles.e1,
+                                        triangles.e2)
 
     # Box coefficients: local direction d_l = Minv d and local origin
     # o_l = Minv o + trans are LINEAR in the ray features (d cols 0:3,

@@ -29,9 +29,14 @@ def _edge_color(level):
     return jnp.stack([jnp.full_like(g, 0.4), g, 1.0 - g], axis=-1)
 
 
-def bvh_debug_trace(scene, o, d, *, level: int = -1,
-                    thickness: float = 0.01):
-    """Wireframe radiance for each ray [N, 3]."""
+def bvh_edge_scan(scene, o, d, *, level: int = -1,
+                  thickness: float = 0.01):
+    """Nearest selected-node box-edge crossing per ray.
+
+    Returns (edge_t [N] — T_MAX where none, edge_lvl [N] i32,
+    any_sel [N] bool — ray passed through some selected node's box).
+    The traversal core shared by the standalone wireframe view and the
+    composited-into-beauty overlay."""
     bvh = scene.bvh
     n = o.shape[0]
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20,
@@ -93,6 +98,14 @@ def bvh_debug_trace(scene, o, d, *, level: int = -1,
         jnp.zeros((n,), bool),
     )
     _, edge_t, edge_lvl, any_sel = jax.lax.while_loop(cond, body, init)
+    return edge_t, edge_lvl, any_sel
+
+
+def bvh_debug_trace(scene, o, d, *, level: int = -1,
+                    thickness: float = 0.01):
+    """Wireframe radiance for each ray [N, 3]."""
+    edge_t, edge_lvl, any_sel = bvh_edge_scan(scene, o, d, level=level,
+                                              thickness=thickness)
     edge_hit = edge_t < T_MAX
 
     # Geometry beneath: dark or volume-tinted (bvh.hpp:98-102,
@@ -107,6 +120,43 @@ def bvh_debug_trace(scene, o, d, *, level: int = -1,
     return jnp.where(
         edge_hit[:, None], _edge_color(edge_lvl) * 4.0, geo_color
     )
+
+
+def composite_wireframe(scene, cam: camera_mod.Camera, beauty, *,
+                        level: int = -1, thickness: float = 0.01):
+    """Blend the BVH wireframe INTO a rendered beauty buffer.
+
+    The reference renders node edges as fabricated diffuse_light hits
+    inside the traversal, so wires and geometry occlude each other by t
+    and the wireframe appears over the LIVE render (bvh.hpp:56-109,
+    blended at camera.hpp:937-953). This is that composite at primary
+    visibility: pixels whose center ray crosses a selected node's box
+    edge BEFORE its first surface hit take the emissive edge color (a
+    diffuse_light hit terminates the path, so the pixel equals the wire
+    emission exactly); everything else keeps the path-traced beauty.
+    Divergence (documented): secondary bounces don't see the wire — a
+    mirror won't reflect the debug lines.
+
+    beauty: [H, W, 3] linear radiance (accumulator average, pre-post).
+    Returns the composited [H, W, 3] linear buffer.
+    """
+    h, w = beauty.shape[0], beauty.shape[1]
+    # Pixel-center rays (the reference's get_center_ray, camera.hpp:806):
+    # deterministic, no jitter — debug overlay stability.
+    ii = jnp.tile(jnp.arange(w, dtype=jnp.float32), h)
+    jj = jnp.repeat(jnp.arange(h, dtype=jnp.float32), w)
+    d = (cam.pixel00[None, :] + ii[:, None] * cam.pixel_delta_u[None, :]
+         + jj[:, None] * cam.pixel_delta_v[None, :] - cam.center[None, :])
+    o = jnp.broadcast_to(cam.center, d.shape)
+
+    edge_t, edge_lvl, _ = bvh_edge_scan(scene, o, d, level=level,
+                                        thickness=thickness)
+    geo = intersect.intersect(scene, o, d, T_MIN)
+    surf_t = jnp.where(geo.hit, geo.t, T_MAX)
+    wire = (edge_t < T_MAX) & (edge_t < surf_t)
+    out = jnp.where(wire[:, None], _edge_color(edge_lvl) * 4.0,
+                    beauty.reshape(-1, 3))
+    return out.reshape(h, w, 3)
 
 
 def render_bvh_debug(scene, cam: camera_mod.Camera, key, config, *,

@@ -100,6 +100,7 @@ class InteractiveLoop:
         self._last_preview = 0.0
 
         self.current_pass = post_mod.PASS_RGB
+        self.wire = None          # (level, thickness) overlay when set
         self.target_spp = config.samples_per_pixel
         self.paused = False
         self.running = True
@@ -200,6 +201,19 @@ class InteractiveLoop:
             return self._show(args[0] if args else "all")
         if cmd == "sun":
             return self._astronomical(*[float(a) for a in args])
+        if cmd == "wire":
+            # BVH wireframe composited over the live render
+            # (bvh.hpp:56-109; sliders main.cpp:1058-1085).
+            if args and args[0] == "off":
+                self.wire = None
+                self.needs_update = True
+                return "wireframe overlay off"
+            level = int(args[0]) if args else -1
+            thickness = float(args[1]) if len(args) > 1 else 0.01
+            self.wire = (level, thickness)
+            self.needs_update = True
+            return (f"wireframe overlay on (level={level}, "
+                    f"thickness={thickness}) — composited into beauty")
         if cmd == "set":
             return self._set(args[0], args[1:])
         raise ValueError(f"unknown command {cmd!r}")
@@ -320,6 +334,8 @@ class InteractiveLoop:
             "height (restart)\n"
             "  sun <lat> <day> <hour>  astronomical sun position "
             "(restart + sync)\n"
+            "  wire [level] [thickness] | wire off   BVH wireframe "
+            "composited over the render\n"
             "  pass <name> | save [pass] [path] | saveall [dir]\n"
             "  stats | show [camera|env|post|config] | reset | pause | "
             "resume | quit"
@@ -366,8 +382,11 @@ class InteractiveLoop:
         if now - self._last_preview < self.watch_interval:
             return
         from . import image_io
-        image_io.save_png(self.watch_png,
-                          self.session.display(self.current_pass))
+        if self.wire is not None and self.current_pass == post_mod.PASS_RGB:
+            frame = self.session.display_wire(*self.wire)
+        else:
+            frame = self.session.display(self.current_pass)
+        image_io.save_png(self.watch_png, frame)
         self._last_preview = now
 
     def tick(self) -> list[str]:

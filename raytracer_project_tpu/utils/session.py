@@ -266,6 +266,27 @@ class RenderSession:
                                               current_pass)
         return np.asarray(jnp.clip(img * 255.999, 0.0, 255.0).astype(jnp.uint8))
 
+    def display_wire(self, level: int = -1,
+                     thickness: float = 0.01) -> np.ndarray:
+        """Wireframe-over-the-live-render preview: BVH node edges
+        composited INTO the beauty buffer, occlusion-correct at primary
+        visibility (bvh.hpp:56-109 fabricated emissive hits blended with
+        the scene; level/thickness are the reference's debug sliders,
+        main.cpp:1058-1085)."""
+        from ..ops import debugviz
+
+        if self.scene.bvh is None:
+            raise ValueError("scene has no BVH (build with with_bvh=True)")
+        comp = debugviz.composite_wireframe(
+            self.scene, self.camera, self.buffers()["beauty"],
+            level=level, thickness=thickness)
+        params = self.post_params._replace(exposure=self.resolved_exposure())
+        img = post_mod.update_post_processing(comp, params,
+                                              self.post_config,
+                                              post_mod.PASS_RGB)
+        return np.asarray(jnp.clip(img * 255.999, 0.0, 255.0)
+                          .astype(jnp.uint8))
+
     def save_render_pass(self, current_pass: int, path: str) -> str:
         """PNG export of one pass (camera.hpp:299-343)."""
         image_io.save_png(path, self.display(current_pass))

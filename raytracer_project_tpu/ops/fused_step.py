@@ -136,11 +136,9 @@ class FusedTables(NamedTuple):
     rectab: jax.Array     # f32[28, Ntot_pad] packed primitive shading rows
     mattab: jax.Array     # f32[8, M_pad] material columns (_mat_fetch order)
     texmeta: jax.Array    # f32[10, K_pad] texture metadata (sample_soa order)
-    atlas_flat: jax.Array   # f32[3, K*AH*AW] image texels by channel
-    grad_flat: jax.Array    # f32[2, K*AH*AW] bump neighbor deltas
-    env_flat: jax.Array | None  # f32[3, EH*EW] HDR texels (HDR mode only)
-    combined: jax.Array   # f32[T] all gather channels end to end
-    offsets: tuple        # static int start of each channel in `combined`
+    atlas_rows: jax.Array   # f32[K*AH*AW, 4] image texels (r, g, b, 0)
+    grad_rows: jax.Array    # f32[K*AH*AW, 2] bump neighbor deltas (du, dv)
+    env_rows: jax.Array | None  # f32[EH*EW, 4] HDR texels (HDR mode only)
 
 
 def build_tables(scene, env, env_mode: int) -> FusedTables:
@@ -158,30 +156,28 @@ def build_tables(scene, env, env_mode: int) -> FusedTables:
          bank.checker_even[:, 2], bank.checker_odd[:, 0],
          bank.checker_odd[:, 1], bank.checker_odd[:, 2]], axis=1,
     )
-    env_flat = None
+    # ROW-structured texel tables: the per-step seam gathers whole rows
+    # ([P] row indices fetching 4/2-wide rows) instead of per-channel
+    # flat indices. Gather cost on this backend is ~per-INDEX (~7 ns),
+    # so 2 row gathers beat 5 flat gathers by ~7 ms/step at 262k lanes
+    # (measured in loop context; the isolated numbers mislead).
+    atlas_rows = jnp.reshape(bank.data, (-1, 3))
+    atlas_rows = jnp.concatenate(
+        [atlas_rows, jnp.zeros((atlas_rows.shape[0], 1), jnp.float32)],
+        axis=1)
+    grad_rows = jnp.reshape(bank.grad, (-1, 2))
+    env_rows = None
     if env_mode == env_mod.HDR_MAP:
-        env_flat = jnp.reshape(
-            jnp.transpose(env.hdr_image, (2, 0, 1)), (3, -1))
-    atlas_flat = jnp.reshape(jnp.transpose(bank.data, (3, 0, 1, 2)), (3, -1))
-    grad_flat = jnp.reshape(jnp.transpose(bank.grad, (3, 0, 1, 2)), (2, -1))
-    # One combined table so the per-step seam is a SINGLE gather: the
-    # per-gather staging cost dominates on this backend (~2-8 ms each in
-    # loop context), so 5-8 gathers collapse into one.
-    channels = [atlas_flat[0], atlas_flat[1], atlas_flat[2],
-                grad_flat[0], grad_flat[1]]
-    if env_flat is not None:
-        channels += [env_flat[0], env_flat[1], env_flat[2]]
-    sizes = [int(c.shape[0]) for c in channels]
-    offsets = tuple(int(sum(sizes[:k])) for k in range(len(sizes)))
+        er = jnp.reshape(env.hdr_image, (-1, 3))
+        env_rows = jnp.concatenate(
+            [er, jnp.zeros((er.shape[0], 1), jnp.float32)], axis=1)
     return FusedTables(
         rectab=_pad_rows(_packed_all(scene), A_BLOCK).T,
         mattab=_pad_rows(mattab, 8).T,
         texmeta=_pad_rows(texmeta, 8).T,
-        atlas_flat=atlas_flat,
-        grad_flat=grad_flat,
-        env_flat=env_flat,
-        combined=jnp.concatenate(channels),
-        offsets=offsets,
+        atlas_rows=atlas_rows,
+        grad_rows=grad_rows,
+        env_rows=env_rows,
     )
 
 
@@ -1285,23 +1281,20 @@ def make_pool_fused(scene, cam, env, key, config, sample_offset=0,
         rec = trace_decode(
             scene, tables, s.o, s.d, aparams, env_hw, interpret=interpret)
 
-        # XLA seam: ONE batched gather for every texel channel (per-gather
-        # staging dominates on this backend; 5-8 separate gathers cost
-        # ~24 ms/step where one wide gather costs one staging).
+        # XLA seam: ROW gathers — one [P] row-index fetch per texel
+        # table. Gather cost here is ~per-index, so 2-3 row gathers beat
+        # the previous single 5-8-channel flat gather by ~7 ms/step at
+        # 262k lanes (measured in loop context).
         trow = jnp.clip(rec[_RO_TEXROW], 0.0, None).astype(jnp.int32)
         brow = jnp.clip(rec[_RO_BUMPROW], 0.0, None).astype(jnp.int32)
-        off = tables.offsets
-        parts = [trow + off[0], trow + off[1], trow + off[2],
-                 brow + off[3], brow + off[4]]
+        tex4 = tables.atlas_rows[trow]            # [P, 4]
+        gb2 = tables.grad_rows[brow]              # [P, 2]
+        tex3 = (tex4[:, 0], tex4[:, 1], tex4[:, 2])
+        bump2 = (gb2[:, 0], gb2[:, 1])
         if env_hw is not None:
             erow = rec[_RO_ENVROW].astype(jnp.int32)
-            parts += [erow + off[5], erow + off[6], erow + off[7]]
-        allidx = jnp.concatenate(parts)
-        allvals = tables.combined[allidx]
-        tex3 = tuple(allvals[k * p:(k + 1) * p] for k in range(3))
-        bump2 = tuple(allvals[(3 + k) * p:(4 + k) * p] for k in range(2))
-        if env_hw is not None:
-            env3 = tuple(allvals[(5 + k) * p:(6 + k) * p] for k in range(3))
+            env4 = tables.env_rows[erow]
+            env3 = (env4[:, 0], env4[:, 1], env4[:, 2])
         else:
             zc = jnp.zeros((p,), jnp.float32)
             env3 = (zc, zc, zc)

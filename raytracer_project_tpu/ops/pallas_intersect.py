@@ -161,6 +161,14 @@ def scan_tables(feats, tmin, scoeff_ref, tcoeff_ref, bcoeff_ref,
 
             return jax.lax.cond(possible, do_chunk, lambda c: c, carry)
 
+        # Small tables: unroll (each fori_loop iteration carries real
+        # per-step overhead on this backend; showcase-scale tables have
+        # 1-4 chunks each). Big tables keep the rolled loop to bound
+        # program size.
+        if n_chunks <= 8:
+            for ci in range(n_chunks):
+                carry = body(ci, carry)
+            return carry
         return jax.lax.fori_loop(0, n_chunks, body, carry)
 
     if n_spheres:

@@ -266,18 +266,37 @@ def _onehot_rows(idx_f32, tableT_ref, window: int = 512):
     b = idx_f32.shape[0]
     idx_i = idx_f32.astype(jnp.int32)
     acc = jnp.zeros((tableT_ref.shape[0], b), jnp.float32)
-    for w0 in range(0, n_rows, window):
-        wlen = min(window, n_rows - w0)
+
+    # HIGHEST precision: the default bf16-decomposed f32 MXU passes
+    # drop low mantissa bits of the FETCHED VALUES (a one-hot fetch
+    # must be bit-exact — geometry coefficients feed hit decisions);
+    # measured: default precision put 8% of showcase pixels >0.05 off
+    # the unfused pool on device, HIGHEST is exact.
+    def sweep(w0, acc, wlen):
         rows = jax.lax.broadcasted_iota(jnp.int32, (wlen, b), 0)
         onehotT = (rows == idx_i[None, :] - w0).astype(jnp.float32)
-        # HIGHEST precision: the default bf16-decomposed f32 MXU passes
-        # drop low mantissa bits of the FETCHED VALUES (a one-hot fetch
-        # must be bit-exact — geometry coefficients feed hit decisions);
-        # measured: default precision put 8% of showcase pixels >0.05 off
-        # the unfused pool on device, HIGHEST is exact.
-        acc = acc + jnp.dot(tableT_ref[:, w0:w0 + wlen], onehotT,
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+        # Slice the REF (pl.ds): value-level dynamic_slice has no Mosaic
+        # lowering.
+        tab = tableT_ref[:, pl.ds(w0, wlen)]
+        return acc + jnp.dot(tab, onehotT,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+
+    n_full = n_rows // window
+    if n_full > 8:
+        # Big tables (e.g. a 25k-primitive rectab = 50 windows): a rolled
+        # loop bounds the live registers to ONE window sweep — unrolled,
+        # the register allocator spills 241 MB of scoped VMEM for the
+        # funnel scene and the kernel fails to compile.
+        acc = jax.lax.fori_loop(
+            0, n_full, lambda w, a: sweep(w * window, a, window), acc)
+    else:
+        for w in range(n_full):
+            acc = sweep(w * window, acc, window)
+    if n_rows % window:
+        # The last window may be short: tables are padded to a multiple
+        # of 8, not of `window`.
+        acc = sweep(n_full * window, acc, n_rows - n_full * window)
     return acc
 
 

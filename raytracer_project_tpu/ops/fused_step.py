@@ -933,11 +933,14 @@ def _shade_advance_kernel(
         is_specular = soa.dot(soa.normalize(sc_dir), refl_dir) > 0.9
         entering = soa.dot(sc_dir, normal) < 0.0
         spec_live = hit & scattered
-        to_refl = jnp.where(spec0, spec_live & is_specular & use_reflection,
-                            to_refl)
-        to_refr = jnp.where(
-            spec0, spec_live & ~is_specular & entering & use_refraction,
-            to_refr)
+        # Boolean algebra, not where(): Mosaic cannot select/truncate i1
+        # vectors; use_reflection/refraction are static Python bools.
+        refl_new = (spec_live & is_specular if use_reflection
+                    else jnp.zeros_like(spec_live))
+        refr_new = (spec_live & ~is_specular & entering if use_refraction
+                    else jnp.zeros_like(spec_live))
+        to_refl = (spec0 & refl_new) | (~spec0 & to_refl)
+        to_refr = (spec0 & refr_new) | (~spec0 & to_refr)
         attn0 = soa.where(spec0, attenuation, attn0)
         # Spec paths routed to neither buffer are dead work: kill now.
         active = active & ~(spec0 & ~(to_refl | to_refr))

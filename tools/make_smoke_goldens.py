@@ -50,6 +50,30 @@ def main():
                         beauty=img)
     print(f"smoke_fused_64x36: mean={img.mean():.4f}")
 
+    # fused-features goldens: fog + AOVs + spec passes, interpret mode
+    # (smoke's fused-features stage).
+    from raytracer_project_tpu.models import presets
+
+    scene_f = presets.showcase_scene(with_bvh=True, with_meshes=True,
+                                     use_fog=True, fog_density=0.02)
+    cfg_f = integrator.RenderConfig(
+        width=64, height=36, samples_per_pixel=4, max_depth=10,
+        env_mode=env_mod.PHYSICAL_SUN,
+        use_albedo=True, use_normal=True, use_z_depth=True,
+        use_reflection=True, use_refraction=True, wavefront=True,
+    )
+    acc = fused_step.render_pool_fused(
+        scene_f, cam, env, jax.random.PRNGKey(0), cfg_f, interpret=True)
+    aux = min(cfg_f.aux_samples, cfg_f.samples_per_pixel)
+    for name, div in (("beauty", 4), ("albedo", aux), ("reflection", 4)):
+        img = (np.asarray(getattr(acc, name), np.float32) / div
+               ).reshape(36, 64, 3)
+        assert np.isfinite(img).all()
+        np.savez_compressed(
+            os.path.join(gdir, f"smoke_features_{name}_64x36.npz"),
+            beauty=img)
+        print(f"smoke_features_{name}_64x36: mean={img.mean():.4f}")
+
     # pool-render golden: unfused pooled wavefront, 128x72 @ 4 spp.
     scene, cam, env = smoke._showcase(128, 72)
     cfg = integrator.RenderConfig(

@@ -131,11 +131,17 @@ class FusedTables(NamedTuple):
     would need per-field column extraction from a [B, cols] product,
     which the Mosaic compiler handles catastrophically (8 extracted
     columns = 56 s compile, 16+ = compile-helper OOM — the round-4
-    "device hang"; tools/probe_onehot2.py)."""
+    "device hang"; tools/probe_onehot2.py).
 
-    rectab: jax.Array     # f32[28, Ntot_pad] packed primitive shading rows
-    mattab: jax.Array     # f32[8, M_pad] material columns (_mat_fetch order)
-    texmeta: jax.Array    # f32[10, K_pad] texture metadata (sample_soa order)
+    The row tables are stored as exact bf16 digit TRIPLES ([3*cols, rows]:
+    hi block, mid block, lo block — intersect.splitk_pack_rows): a one-hot
+    matrix is exact in bf16, so the fetch reconstructs every f32
+    bit-exactly from default-precision bf16 passes — where an f32 table
+    operand would need precision=HIGHEST's six-pass emulation."""
+
+    rectab: jax.Array     # bf16[3*28, Ntot_pad] packed primitive shading rows
+    mattab: jax.Array     # bf16[3*8, M_pad] material columns (_mat_fetch order)
+    texmeta: jax.Array    # bf16[3*10, K_pad] texture metadata (sample_soa order)
     atlas_rows: jax.Array   # f32[K*AH*AW, 4] image texels (r, g, b, 0)
     grad_rows: jax.Array    # f32[K*AH*AW, 2] bump neighbor deltas (du, dv)
     env_rows: jax.Array | None  # f32[EH*EW, 4] HDR texels (HDR mode only)
@@ -172,9 +178,10 @@ def build_tables(scene, env, env_mode: int) -> FusedTables:
         env_rows = jnp.concatenate(
             [er, jnp.zeros((er.shape[0], 1), jnp.float32)], axis=1)
     return FusedTables(
-        rectab=_pad_rows(_packed_all(scene), A_BLOCK).T,
-        mattab=_pad_rows(mattab, 8).T,
-        texmeta=_pad_rows(texmeta, 8).T,
+        rectab=intersect.splitk_pack_rows(
+            _pad_rows(_packed_all(scene), A_BLOCK).T),
+        mattab=intersect.splitk_pack_rows(_pad_rows(mattab, 8).T),
+        texmeta=intersect.splitk_pack_rows(_pad_rows(texmeta, 8).T),
         atlas_rows=atlas_rows,
         grad_rows=grad_rows,
         env_rows=env_rows,
@@ -209,8 +216,10 @@ def fused_supported(scene, config, identity_pixels: bool,
     if scene.mm is None:
         return False
     # The intersect kernel holds every coefficient table in VMEM; leave
-    # headroom for ray blocks (v5e: 128 MB VMEM).
-    coeff_bytes = 4 * sum(
+    # headroom for ray blocks (v5e: 128 MB VMEM). SPLITK packing stores
+    # 96 bf16 rows per 16 f32 rows (3x the bytes, intersect.
+    # splitk_pack_coeff); the estimate uses the packed footprint.
+    coeff_bytes = intersect.COEFF_BYTES_PER_F32 * sum(
         int(np.prod(t.shape))
         for t in (scene.mm.sphere_coeff, scene.mm.tri_coeff,
                   scene.mm.box_coeff)
@@ -246,15 +255,25 @@ def fused_supported(scene, config, identity_pixels: bool,
 # ---------------------------------------------------------------------------
 
 def _onehot_rows(idx_f32, tableT_ref, window: int = 512):
-    """tableT[:, idx] for a [B] f32 index vector via one-hot MXU matmuls.
+    """table[:, idx] for a [B] f32 index vector via one-hot MXU matmuls.
 
-    tableT_ref is the TRANSPOSED [cols, rows] table; the result is
-    [cols, B] so each field is a dense [B] row slice (``out[k, :]``).
-    This orientation is load-bearing: extracting per-field COLUMNS from a
+    tableT_ref is the TRANSPOSED, bf16-digit-split [3*cols, rows] table
+    (intersect.splitk_pack_rows); the result is [cols, B] f32 so each
+    fetched field is a dense [B] row slice (``out[k, :]``). The
+    orientation is load-bearing: extracting per-field COLUMNS from a
     [B, cols] product sends the Mosaic compiler into a pathological
     relayout search (8 columns = 56 s, 16+ = compile-helper OOM-kill —
     the round-4 "device hang"), while row slices of [cols, B] are free
     (0.9 s compile at 24 fields; tools/probe_onehot2.py).
+
+    Exactness: a one-hot fetch must be bit-exact (geometry coefficients
+    feed hit decisions; default bf16 passes on an f32 table put 8% of
+    showcase pixels >0.05 off the unfused pool on device). The digit
+    split gives that exactness at default precision: the one-hot operand
+    is exact in bf16, each digit block's product is an exact f32, and
+    hi + mid + lo reconstructs the stored f32 exactly (hi+mid carries
+    <= 16 mantissa bits; adding lo is the exact split residual) — 3
+    one-pass matmuls where an f32 table needed HIGHEST's 6 passes.
 
     Tables wider than `window` rows are swept in window-sized one-hot
     matmuls with accumulation, bounding the [window, B] transient (an
@@ -263,24 +282,22 @@ def _onehot_rows(idx_f32, tableT_ref, window: int = 512):
     not of `window`.
     """
     n_rows = tableT_ref.shape[1]
+    cols = tableT_ref.shape[0] // 3
     b = idx_f32.shape[0]
     idx_i = idx_f32.astype(jnp.int32)
-    acc = jnp.zeros((tableT_ref.shape[0], b), jnp.float32)
+    acc = jnp.zeros((cols, b), jnp.float32)
 
-    # HIGHEST precision: the default bf16-decomposed f32 MXU passes
-    # drop low mantissa bits of the FETCHED VALUES (a one-hot fetch
-    # must be bit-exact — geometry coefficients feed hit decisions);
-    # measured: default precision put 8% of showcase pixels >0.05 off
-    # the unfused pool on device, HIGHEST is exact.
     def sweep(w0, acc, wlen):
         rows = jax.lax.broadcasted_iota(jnp.int32, (wlen, b), 0)
-        onehotT = (rows == idx_i[None, :] - w0).astype(jnp.float32)
+        onehotT = (rows == idx_i[None, :] - w0).astype(jnp.bfloat16)
         # Slice the REF (pl.ds): value-level dynamic_slice has no Mosaic
         # lowering.
         tab = tableT_ref[:, pl.ds(w0, wlen)]
-        return acc + jnp.dot(tab, onehotT,
-                             preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
+        prod = jnp.dot(tab, onehotT, preferred_element_type=jnp.float32)
+        # (hi + mid) is exact (<= 16 mantissa bits), + lo is the exact
+        # split residual: bit-equal to the f32 table entry.
+        return acc + ((prod[0:cols] + prod[cols:2 * cols])
+                      + prod[2 * cols:3 * cols])
 
     n_full = n_rows // window
     if n_full > 8:

@@ -343,6 +343,109 @@ def ray_features(o, d):
     return jnp.concatenate([d, o, m, od, oo, one, dd, pad], axis=-1)
 
 
+# --- split-K f32 matmul emulation ("SPLITK") --------------------------------
+# The MXU's native input type is bf16; XLA emulates an f32 matmul
+# (precision=HIGHEST) as SIX bf16 passes: both operands are split into
+# exact bf16 digit triples (f32's 24-bit mantissa = 3 x 8-bit bf16 digits,
+# x == hi + mid + lo exactly) and the six significant cross products
+# hh, hm, hl, mh, mm, lh are summed (the dropped ml/lm/ll terms sit at
+# 2^-24 relative and below — under f32 resolution). Measured on the fused
+# render loop, those six passes cost ~8 ms of a 25 ms step.
+#
+# SPLITK computes the SAME six product groups in TWO bf16 passes: the ray
+# feature dim is only 16, and the MXU pads any contraction below 128 to a
+# full 128-deep pass — so K-concatenating pairings is free. feats-side
+# blocks [fh fh fh fm fm fl] against coefficient-side blocks
+# [ch cm cl ch cm ch] yield exactly fh*ch + fh*cm + fh*cl + fm*ch + fm*cm
+# + fl*ch — the HIGHEST product set.
+#
+# Why two passes and not one (splitk_dot): the MXU accumulates a pass's
+# products in an f32 reduction tree whose rounding order differs from the
+# CPU backend's sequential sum. One K=96 pass mixes magnitude-1 hh
+# products with 2^-16-scale lh products in that tree, which makes the
+# cross-backend disagreement ~10-100 ulp of the result (measured abs err
+# up to 3.6e-4 on showcase sphere columns) — enough to flip 31% of
+# winning-primitive choices via the grazing-ray amplification of the
+# r=1000 ground sphere (CPU goldens no longer match TPU renders). Pass 1
+# carries ONLY the dominant hh pair (reassociation noise ~1 ulp, same
+# arithmetic as HIGHEST's hh pass); pass 2 carries the five small cross
+# pairs, whose internal tree noise is ~2^-32 relative to the result; the
+# two partials are combined in f32 in a fixed order on both backends.
+#
+# RAYTRACER_TPU_ISECT_PREC selects SPLITK (default) | HIGHEST | DEFAULT
+# (the latter two for ablation; DEFAULT corrupts the hit set, see
+# _scan_chunks_mm).
+import os as _os
+
+ISECT_PREC = _os.environ.get("RAYTRACER_TPU_ISECT_PREC", "SPLITK").upper()
+SPLITK_FACTOR = 6
+# Kernel VMEM bytes per f32 coefficient element: SPLITK stores 96 bf16
+# rows where the plain table has 16 f32 rows (3x); ablation modes keep f32.
+COEFF_BYTES_PER_F32 = 12 if ISECT_PREC == "SPLITK" else 4
+
+
+def split3_bf16(x):
+    """Exact 3-way bf16 digit split: x == hi + mid + lo for f32 x.
+
+    Round-to-nearest carries can shift one digit boundary, but each
+    residual subtraction is exact (Sterbenz) and <= 8 significant bits
+    remain for `lo`, so the reconstruction is exact away from the bf16
+    subnormal floor (~2^-133, far below any scene coefficient)."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    r2 = r1 - mid.astype(jnp.float32)
+    return hi, mid, r2.astype(jnp.bfloat16)
+
+
+def splitk_pack_coeff(coeff):
+    """Coefficient table [16, G, P] f32 -> [96, G, P] bf16 in the SPLITK
+    row layout (paired against splitk_feats' [fh fh fh fm fm fl])."""
+    hi, mid, lo = split3_bf16(coeff)
+    return jnp.concatenate([hi, mid, lo, hi, mid, hi], axis=0)
+
+
+def splitk_feats(feats):
+    """Ray features [B, 16] f32 -> [B, 96] bf16: [fh fh fh fm fm fl]."""
+    hi, mid, lo = split3_bf16(feats)
+    return jnp.concatenate([hi, hi, hi, mid, mid, lo], axis=1)
+
+
+def splitk_dot(featsk, coeffk, in_kernel: bool = False):
+    """f32-emulated matmul from SPLITK-packed operands: featsk [B, 6*F]
+    bf16 (splitk_feats), coeffk [6*F, N] bf16 (splitk_pack_coeff rows,
+    flattened). Two default-precision MXU passes — the dominant hh digit
+    pair alone, then the five small cross pairs — summed in f32 (see the
+    module comment above for why the pairs cannot share one pass).
+
+    in_kernel: set inside a Pallas kernel. Outside, an optimization
+    barrier keeps XLA from re-fusing the two dots into one
+    K-concatenated MXU pass (its concat-dot rewrite): that reintroduces
+    the mixed-magnitude accumulation the split exists to avoid, and
+    de-syncs the XLA scan from the Mosaic kernel (smoke's hit-agree
+    stage caught exactly this: 5/512 hit flips, XLA-fused vs Mosaic
+    two-pass). Mosaic has no barrier primitive and performs no such
+    rewrite, so in-kernel the partials stay separate on their own."""
+    f = RAY_FEATURE_DIM
+    d1 = jnp.dot(featsk[:, :f], coeffk[:f, :],
+                 preferred_element_type=jnp.float32)
+    d2 = jnp.dot(featsk[:, f:], coeffk[f:, :],
+                 preferred_element_type=jnp.float32)
+    if not in_kernel:
+        d1, d2 = jax.lax.optimization_barrier((d1, d2))
+    return d1 + d2
+
+
+def splitk_pack_rows(tableT):
+    """Transposed row table [cols, R] f32 -> [3*cols, R] bf16 (hi block,
+    mid block, lo block) for exact one-hot MXU fetches: a one-hot matrix
+    is exact in bf16, so dot(split_table, onehot) reconstructs every
+    fetched f32 bit-exactly from one DEFAULT-precision pass per digit
+    (3 total, vs HIGHEST's 6)."""
+    hi, mid, lo = split3_bf16(tableT)
+    return jnp.concatenate([hi, mid, lo], axis=0)
+
+
 def sphere_candidate_t_mm(h, c, a, tmin, tmax):
     """Sphere epilogue: h, c f32[N, C]; a = |d|^2 [N, 1].
 
@@ -407,31 +510,48 @@ def _scan_chunks_mm(coeff, epilogue, n_rows, feats, tmin, best_t, best_idx):
 
     coeff f32[16, G, C_pad] (C_pad a multiple of CHUNK; zero padding columns
     decode as always-invalid); G matmul outputs per primitive.
+
+    Determinism caveat: on CPU this path is bit-identical to the Pallas
+    kernel in interpret mode (shared splitk_dot arithmetic) and is the
+    CPU test anchor. On TPU it is an MXU-speed path, NOT a bit
+    reference: inside scan contexts XLA fuses the split-digit dots and
+    the partial add into one MXU accumulation chain (the optimization
+    barrier stops the concat rewrite but not accumulate-mode chaining),
+    which reintroduces mixed-magnitude accumulation noise. The exact
+    device oracle is intersect_brute (pure VPU); see
+    utils/smoke.stage_hit_agree.
     """
     g = coeff.shape[1]
     n_chunks = coeff.shape[2] // CHUNK
-    # [16, G, C_pad] -> chunks [n_chunks, 16, G * CHUNK] (output-major cols)
+    # Default-precision bf16 matmuls corrupt the hit set (measured: 1.7%
+    # hit flips / 35% wrong prim indices on the showcase scene), so the
+    # dot must carry f32-emulation precision: SPLITK packs HIGHEST's six
+    # bf16 product groups into one default pass (see splitk_pack_coeff);
+    # the HIGHEST fallback exists for ablation.
+    if ISECT_PREC == "SPLITK":
+        coeff = splitk_pack_coeff(coeff)
+        feats = splitk_feats(feats)
+    k_rows = coeff.shape[0]
+    # [K, G, C_pad] -> chunks [n_chunks, K, G * CHUNK] (output-major cols)
     chunked = (
-        coeff.reshape(RAY_FEATURE_DIM, g, n_chunks, CHUNK)
+        coeff.reshape(k_rows, g, n_chunks, CHUNK)
         .transpose(2, 0, 1, 3)
-        .reshape(n_chunks, RAY_FEATURE_DIM, g * CHUNK)
+        .reshape(n_chunks, k_rows, g * CHUNK)
     )
     row_ids = jnp.arange(CHUNK)
 
     def body(carry, chunk):
         best_t, best_idx = carry
         coeff_c, chunk_i = chunk
-        # precision=HIGHEST: TPU default matmul precision is single-pass
-        # bfloat16, which corrupts the hit set (measured: 1.7% hit flips /
-        # 35% wrong prim indices on the showcase scene). The 3-pass f32
-        # emulation costs ~20% and makes the MXU path agree with the exact
-        # VPU kernels.
-        out = jax.lax.dot_general(
-            feats, coeff_c,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [N, G * CHUNK], contiguous CHUNK-wide group per output
+        if ISECT_PREC == "SPLITK":
+            out = splitk_dot(feats, coeff_c)
+        else:
+            out = jax.lax.dot_general(
+                feats, coeff_c,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=getattr(jax.lax.Precision, ISECT_PREC),
+            )  # [N, G * CHUNK], contiguous CHUNK-wide group per output
         t = epilogue(*(out[:, i * CHUNK:(i + 1) * CHUNK] for i in range(g)),
                      tmin, best_t)
         rows = chunk_i * CHUNK + row_ids
@@ -616,7 +736,7 @@ def intersect_dispatch(scene: Scene, tmin) -> str:
         # The kernel keeps every coefficient table VMEM-resident; beyond
         # a ~48 MB budget (same bound as fused_supported; v5e VMEM is
         # 128 MB) Mosaic would OOM, so hand such scenes to the BVH.
-        coeff_bytes = 4 * sum(
+        coeff_bytes = COEFF_BYTES_PER_F32 * sum(
             int(np.prod(t.shape))
             for t in (scene.mm.sphere_coeff, scene.mm.tri_coeff,
                       scene.mm.box_coeff)

@@ -58,11 +58,41 @@ def _coarsen_bounds(fine):
     r = jnp.asarray(fine).reshape(nc, g, 6)
     return jnp.concatenate([r[:, :, :3].min(1), r[:, :, 3:].max(1)], axis=1)
 
-import os as _os
+from .intersect import ISECT_PREC as _ISECT_PREC
 
-_DOT_PRECISION = getattr(
-    jax.lax.Precision,
-    _os.environ.get("RAYTRACER_TPU_ISECT_PREC", "HIGHEST"))
+
+def _pack_coeff(coeff):
+    """Dot-ready coefficient table for the kernels: SPLITK packs HIGHEST's
+    six bf16 product groups into one default-precision pass (see
+    intersect.splitk_pack_coeff); HIGHEST/DEFAULT keep the f32 table for
+    ablation. Called on loop-invariant scene constants, so XLA hoists /
+    constant-folds the conversion out of render loops."""
+    if _ISECT_PREC == "SPLITK":
+        from .intersect import splitk_pack_coeff
+
+        return splitk_pack_coeff(coeff)
+    return coeff
+
+
+def _dot_feats(feats):
+    """feats [B, 16] f32 -> the kernel dot's left operand (see scan_tables)."""
+    if _ISECT_PREC == "SPLITK":
+        from .intersect import splitk_feats
+
+        return splitk_feats(feats)
+    return feats
+
+
+def _isect_dot(featsk, block, interpret: bool = False):
+    if _ISECT_PREC == "SPLITK":
+        from .intersect import splitk_dot
+
+        # Interpret mode executes as XLA, which needs the anti-fusion
+        # barrier; compiled Mosaic has no barrier primitive (and no
+        # concat-dot rewrite to defend against).
+        return splitk_dot(featsk, block, in_kernel=not interpret)
+    return jnp.dot(featsk, block, preferred_element_type=jnp.float32,
+                   precision=getattr(jax.lax.Precision, _ISECT_PREC))
 
 # Rays per grid program.
 BLOCK_RAYS = 512
@@ -77,7 +107,8 @@ CHUNK_PRIMS = 512
 
 def scan_tables(feats, tmin, scoeff_ref, tcoeff_ref, bcoeff_ref,
                 sbounds_ref, tbounds_ref, bbounds_ref,
-                *, n_spheres: int, n_tris: int, n_boxes: int):
+                *, n_spheres: int, n_tris: int, n_boxes: int,
+                interpret: bool = False):
     """Closest hit of one ray block against the whole scene, inside a
     kernel whose scene tables live in VMEM refs. Shared by the standalone
     closest-hit kernel below and the fused trace+decode kernel
@@ -96,6 +127,9 @@ def scan_tables(feats, tmin, scoeff_ref, tcoeff_ref, bcoeff_ref,
     o = feats[:, 3:6]
     safe_d = jnp.where(jnp.abs(d) < 1e-30, 1e-30, d)
     inv_d = 1.0 / safe_d                      # [B, 3]
+
+    # Dot-ready left operand, built once per block (SPLITK: [B, 96] bf16).
+    featsk = _dot_feats(feats)
 
     best_t = jnp.full((b,), T_MAX, jnp.float32)
     best_idx = jnp.zeros((b,), jnp.int32)
@@ -126,14 +160,13 @@ def scan_tables(feats, tmin, scoeff_ref, tcoeff_ref, bcoeff_ref,
 
             def do_chunk(carry):
                 best_t, best_idx, best_type = carry
-                # [16, G, CHUNK] -> [16, G*CHUNK]: contiguous minor merge.
+                # [K, G, CHUNK] -> [K, G*CHUNK]: contiguous minor merge.
                 block = coeff_ref[:, :, pl.ds(ci * CHUNK_PRIMS, CHUNK_PRIMS)]
-                block = block.reshape(RAY_FEATURE_DIM, g * CHUNK_PRIMS)
-                # HIGHEST: default TPU matmul precision is bf16 and flips
-                # hits (see intersect._scan_chunks_mm).
-                # RAYTRACER_TPU_ISECT_PREC exists for perf ablation only.
-                out = jnp.dot(feats, block, preferred_element_type=jnp.float32,
-                              precision=_DOT_PRECISION)
+                block = block.reshape(coeff_ref.shape[0], g * CHUNK_PRIMS)
+                # Default bf16 precision flips hits; SPLITK carries
+                # HIGHEST's product set in one pass (see
+                # intersect._scan_chunks_mm / splitk_pack_coeff).
+                out = _isect_dot(featsk, block, interpret=interpret)
                 groups = [out[:, i * CHUNK_PRIMS:(i + 1) * CHUNK_PRIMS]
                           for i in range(g)]
                 t = epilogue(*groups, tmin, best_t)
@@ -193,7 +226,8 @@ def scan_tables(feats, tmin, scoeff_ref, tcoeff_ref, bcoeff_ref,
 def _closest_hit_kernel(tmin_ref, feats_ref, scoeff_ref, tcoeff_ref,
                         bcoeff_ref, sbounds_ref, tbounds_ref, bbounds_ref,
                         t_ref, idx_ref, type_ref,
-                        *, n_spheres: int, n_tris: int, n_boxes: int):
+                        *, n_spheres: int, n_tris: int, n_boxes: int,
+                        interpret: bool = False):
     """One ray block vs the whole scene; scene tables live in VMEM.
 
     feats_ref is TRANSPOSED [16, B]: the host-side stack of 16 component
@@ -208,6 +242,7 @@ def _closest_hit_kernel(tmin_ref, feats_ref, scoeff_ref, tcoeff_ref,
         feats, tmin, scoeff_ref, tcoeff_ref, bcoeff_ref,
         sbounds_ref, tbounds_ref, bbounds_ref,
         n_spheres=n_spheres, n_tris=n_tris, n_boxes=n_boxes,
+        interpret=interpret,
     )
     t_ref[:] = best_t[:, None]
     idx_ref[:] = best_idx[:, None]
@@ -236,7 +271,8 @@ def _closest_hit_kernel_od(tmin_ref, od_ref,
                            scoeff_ref, tcoeff_ref, bcoeff_ref,
                            sbounds_ref, tbounds_ref, bbounds_ref,
                            t_ref, idx_ref, type_ref,
-                           *, n_spheres: int, n_tris: int, n_boxes: int):
+                           *, n_spheres: int, n_tris: int, n_boxes: int,
+                           interpret: bool = False):
     """Closest hit straight from o/d rows (od_ref [6, B]: ox oy oz dx dy
     dz): the 16-row feature matrix is built IN-KERNEL (cheap VPU math on
     the block), so the [16, P] feats array never materializes in HBM —
@@ -253,6 +289,7 @@ def _closest_hit_kernel_od(tmin_ref, od_ref,
         feats, tmin, scoeff_ref, tcoeff_ref, bcoeff_ref,
         sbounds_ref, tbounds_ref, bbounds_ref,
         n_spheres=n_spheres, n_tris=n_tris, n_boxes=n_boxes,
+        interpret=interpret,
     )
     t_ref[:] = best_t[:, None]
     idx_ref[:] = best_idx[:, None]
@@ -272,7 +309,7 @@ def _closest_hit_call_od(od6, scoeff, tcoeff, bcoeff, sbounds, tbounds,
 
     kernel = functools.partial(
         _closest_hit_kernel_od, n_spheres=n_spheres, n_tris=n_tris,
-        n_boxes=n_boxes,
+        n_boxes=n_boxes, interpret=interpret,
     )
     t, idx, ptype = pl.pallas_call(
         kernel,
@@ -325,8 +362,9 @@ def intersect_brute_pallas_od(scene, o, d, tmin, *,
     bbounds = _coarsen_bounds(scene.mm.box_bounds)
     od6 = jnp.stack([o[0], o[1], o[2], d[0], d[1], d[2]], axis=0)
     t, idx, ptype = _closest_hit_call_od(
-        od6, scene.mm.sphere_coeff, scene.mm.tri_coeff,
-        scene.mm.box_coeff, sbounds, tbounds, bbounds, tmin,
+        od6, _pack_coeff(scene.mm.sphere_coeff),
+        _pack_coeff(scene.mm.tri_coeff),
+        _pack_coeff(scene.mm.box_coeff), sbounds, tbounds, bbounds, tmin,
         n_spheres=scene.spheres.count, n_tris=scene.triangles.count,
         n_boxes=scene.boxes.count if scene.boxes is not None else 0,
         interpret=interpret,
@@ -346,7 +384,7 @@ def _closest_hit_call(feats, scoeff, tcoeff, bcoeff, sbounds, tbounds, bbounds,
 
     kernel = functools.partial(
         _closest_hit_kernel, n_spheres=n_spheres, n_tris=n_tris,
-        n_boxes=n_boxes,
+        n_boxes=n_boxes, interpret=interpret,
     )
     t, idx, ptype = pl.pallas_call(
         kernel,
@@ -471,7 +509,8 @@ def intersect_brute_pallas_feats(scene, feats, tmin, *,
     tbounds = _coarsen_bounds(scene.mm.tri_bounds)
     bbounds = _coarsen_bounds(scene.mm.box_bounds)
     t, idx, ptype = _closest_hit_call(
-        feats, scene.mm.sphere_coeff, scene.mm.tri_coeff, scene.mm.box_coeff,
+        feats, _pack_coeff(scene.mm.sphere_coeff),
+        _pack_coeff(scene.mm.tri_coeff), _pack_coeff(scene.mm.box_coeff),
         sbounds, tbounds, bbounds, tmin,
         n_spheres=scene.spheres.count, n_tris=scene.triangles.count,
         n_boxes=scene.boxes.count if scene.boxes is not None else 0,
@@ -505,7 +544,8 @@ def intersect_brute_pallas(scene, o, d, tmin, *, interpret: bool = False,
         o, d = o[order], d[order]
     feats = ray_features(o, d).T
     t, idx, ptype = _closest_hit_call(
-        feats, scene.mm.sphere_coeff, scene.mm.tri_coeff, scene.mm.box_coeff,
+        feats, _pack_coeff(scene.mm.sphere_coeff),
+        _pack_coeff(scene.mm.tri_coeff), _pack_coeff(scene.mm.box_coeff),
         sbounds, tbounds, bbounds, tmin,
         n_spheres=scene.spheres.count, n_tris=scene.triangles.count,
         n_boxes=scene.boxes.count if scene.boxes is not None else 0,

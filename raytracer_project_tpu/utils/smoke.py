@@ -31,12 +31,32 @@ a diff on failure). ``bench.py`` shells out to it under a hard subprocess
 timeout before timing anything: a hung device call cannot be interrupted
 in-process, so the watchdog must sit one process up.
 
-Golden comparison policy: path tracing is chaotic under FP reassociation —
-a 1-ulp backend difference can flip a rare RNG-driven branch and swing one
-sample — so the gate asserts (a) mean |diff| < 0.01 across the image and
-(b) <1% of pixels deviate by >0.05 in any channel, which catches a
-systematically wrong image (e.g. a Mosaic lowering quirk) while tolerating
-single-lane flips.
+Golden comparison policy (two goldens per stage):
+
+  smoke_<name>.npz       CPU golden — the SEMANTIC reference (interpret-
+                         mode render, tools/make_smoke_goldens.py).
+  smoke_<name>_tpu.npz   device golden — the REGRESSION reference
+                         (compiled render on TPU, tools/
+                         make_device_goldens.py).
+
+On CPU the render is bit-equal to the CPU golden generator, so the CPU
+check is tight (mean |diff| < 0.01, <1% of pixels >0.05 off). On TPU the
+closest-hit kernels run their matmuls on the MXU, whose internal
+accumulation order/precision is hardware-specific (measured: matches
+neither correctly-rounded, sequential, nor pairwise-tree f32 on the
+splitk digit sums) — so a compiled render CANNOT be bit-equal to the CPU
+one, and path tracing is chaotic under FP reassociation: an ulp of t
+difference flips a hit decision, reroutes the RNG stream, and yields an
+independent radiance sample (measured: mean|d| ~ 0.035, ~8% speckle
+pixels at 2 spp — pure speckle, verified by diff-map inspection). The
+TPU check is therefore two-sided: TIGHT against the device golden
+(same arithmetic, deterministic: mean < 1e-5 — catches any lowering /
+kernel regression at full strength) and STATISTICAL against the CPU
+golden (mean < 0.06, <20% speckle pixels — catches a systematically
+wrong image, which puts 30-100% of pixels off at mean >= 0.1).
+make_device_goldens.py refuses to write a device golden that fails the
+statistical CPU check, so the tight reference can never legitimize a
+systemically wrong device path.
 
 Reference analog: none — the reference has no automated tests
 (/root/reference, SURVEY.md section 4); this replaces its interactive
@@ -71,15 +91,27 @@ def _golden_path(name: str) -> str:
     return os.path.join(here, "tests", "goldens", f"{name}.npz")
 
 
+# Cross-backend statistical budgets (TPU render vs CPU golden): measured
+# MXU-vs-CPU speckle on the fused 64x36@2spp stage is mean ~0.035 /
+# ~8% outlier pixels; a systematically wrong image runs mean >= 0.1 /
+# 30-100% pixels (e.g. the round-5 one-hot default-precision bug).
+_XBACKEND_MEAN = 0.06
+_XBACKEND_FRAC = 0.20
+# Device-golden budget: same arithmetic, deterministic executor — any
+# visible drift is a real kernel/lowering change.
+_DEVICE_MEAN = 1e-5
+
+
 def _check_image(beauty: np.ndarray, golden_name: str, stage: str,
                  max_frac: float = 0.01):
-    """Finite/nonzero always; golden comparison when the golden exists.
+    """Finite/nonzero always; golden comparison when goldens exist.
 
-    max_frac: outlier-pixel budget. A systematically wrong image puts
-    30-100% of pixels off; chaotic per-sample RNG-branch flips produce
-    uniform speckle whose density scales with how many knife-edge draws
-    the config has (the fog + specular-classifier stage runs at ~2.5%,
-    verified speckle by diff-map inspection — its budget is 4%).
+    max_frac: CPU-backend outlier-pixel budget. A systematically wrong
+    image puts 30-100% of pixels off; chaotic per-sample RNG-branch flips
+    produce uniform speckle whose density scales with how many knife-edge
+    draws the config has (the fog + specular-classifier stage runs at
+    ~2.5%, verified speckle by diff-map inspection — its budget is 4%).
+    On TPU the two-golden policy applies (module docstring).
 
     Returns an error string or None.
     """
@@ -88,22 +120,61 @@ def _check_image(beauty: np.ndarray, golden_name: str, stage: str,
         return f"{stage}: non-finite pixels ({bad} bad values)"
     if beauty.max() <= 0.0:
         return f"{stage}: image is all-black"
+    on_tpu = jax.default_backend() == "tpu"
+
+    def _diff(ref):
+        d = np.abs(beauty - ref)
+        return float(d.mean()), float((d.max(axis=-1) > 0.05).mean())
+
     path = _golden_path(golden_name)
-    if not os.path.exists(path):
+    cpu_ref = None
+    if os.path.exists(path):
+        cpu_ref = np.load(path)["beauty"]
+        if cpu_ref.shape != beauty.shape:
+            return (f"{stage}: golden shape {cpu_ref.shape} != render "
+                    f"{beauty.shape}")
+    if not on_tpu:
+        if cpu_ref is None:
+            _hb(f"{stage}: golden {golden_name} missing — "
+                f"finite/nonzero only")
+            return None
+        mean_diff, frac_off = _diff(cpu_ref)
+        _hb(f"{stage}: golden diff mean={mean_diff:.5f} "
+            f"frac(>0.05)={frac_off:.4f} (budget {max_frac})")
+        if mean_diff > 0.01 or frac_off > max_frac:
+            return (f"{stage}: image disagrees with CPU golden "
+                    f"(mean|d|={mean_diff:.5f} frac>0.05={frac_off:.4f})")
+        return None
+
+    # TPU: tight device-golden regression check ...
+    dev_path = _golden_path(golden_name + "_tpu")
+    if os.path.exists(dev_path):
+        dev_ref = np.load(dev_path)["beauty"]
+        if dev_ref.shape != beauty.shape:
+            return (f"{stage}: device golden shape {dev_ref.shape} != "
+                    f"render {beauty.shape}")
+        mean_dev, frac_dev = _diff(dev_ref)
+        _hb(f"{stage}: device-golden diff mean={mean_dev:.2e} "
+            f"(budget {_DEVICE_MEAN:.0e})")
+        if mean_dev > _DEVICE_MEAN:
+            return (f"{stage}: device render drifted from device golden "
+                    f"(mean|d|={mean_dev:.3e} frac>0.05={frac_dev:.4f} — "
+                    f"kernel/lowering regression, or an intentional "
+                    f"change needing tools/make_device_goldens.py)")
+    else:
+        _hb(f"{stage}: device golden {golden_name}_tpu missing — "
+            f"statistical CPU check only")
+    # ... plus the statistical cross-backend check.
+    if cpu_ref is None:
         _hb(f"{stage}: golden {golden_name} missing — finite/nonzero only")
         return None
-    ref = np.load(path)["beauty"]
-    if ref.shape != beauty.shape:
-        return (f"{stage}: golden shape {ref.shape} != render "
-                f"{beauty.shape}")
-    diff = np.abs(beauty - ref)
-    mean_diff = float(diff.mean())
-    frac_off = float((diff.max(axis=-1) > 0.05).mean())
-    _hb(f"{stage}: golden diff mean={mean_diff:.5f} "
-        f"frac(>0.05)={frac_off:.4f} (budget {max_frac})")
-    if mean_diff > 0.01 or frac_off > max_frac:
-        return (f"{stage}: image disagrees with CPU golden "
-                f"(mean|d|={mean_diff:.5f} frac>{0.05}={frac_off:.4f})")
+    mean_diff, frac_off = _diff(cpu_ref)
+    _hb(f"{stage}: CPU-golden diff mean={mean_diff:.5f} "
+        f"frac(>0.05)={frac_off:.4f} (budgets {_XBACKEND_MEAN}/"
+        f"{_XBACKEND_FRAC})")
+    if mean_diff > _XBACKEND_MEAN or frac_off > _XBACKEND_FRAC:
+        return (f"{stage}: image systematically disagrees with CPU golden "
+                f"(mean|d|={mean_diff:.5f} frac>0.05={frac_off:.4f})")
     return None
 
 
@@ -123,8 +194,9 @@ def _showcase(width: int, height: int):
     return scene, cam, env
 
 
-def stage_fused_fast() -> int:
-    """64x36 @ 2 spp showcase through the fused engine (one compile)."""
+def render_fused_fast():
+    """The fused-fast stage's render: [(golden_name, label, max_frac,
+    img)] — shared by the stage and the golden generators."""
     from ..models import environment as env_mod
     from ..ops import fused_step, integrator
 
@@ -137,7 +209,7 @@ def stage_fused_fast() -> int:
     )
     on_tpu = jax.default_backend() == "tpu"
     if not fused_step.fused_supported(scene, cfg, True, env):
-        return _fail("fused-fast: showcase no longer fused_supported")
+        raise RuntimeError("fused-fast: showcase no longer fused_supported")
     _hb(f"fused-fast: compiling+running 64x36@2spp "
         f"(backend={jax.default_backend()}, fused "
         f"{'compiled' if on_tpu else 'interpret'})")
@@ -150,11 +222,23 @@ def stage_fused_fast() -> int:
     beauty = np.asarray(acc.beauty, np.float32) / cfg.samples_per_pixel
     beauty = beauty.reshape(36, 64, 3)
     _hb(f"fused-fast: done, mean={beauty.mean():.4f}")
-    err = _check_image(beauty, "smoke_fused_64x36", "fused-fast")
-    return _fail(err) if err else 0
+    return [("smoke_fused_64x36", "fused-fast", 0.01, beauty)]
 
 
-def stage_fused_features() -> int:
+def stage_fused_fast() -> int:
+    """64x36 @ 2 spp showcase through the fused engine (one compile)."""
+    try:
+        images = render_fused_fast()
+    except RuntimeError as e:
+        return _fail(str(e))
+    for name, label, max_frac, img in images:
+        err = _check_image(img, name, label, max_frac=max_frac)
+        if err:
+            return _fail(err)
+    return 0
+
+
+def render_fused_features():
     """64x36 @ 2 spp showcase WITH fog through the fused engine with
     every optional channel on (albedo/normal/z AOVs + reflection/
     refraction split passes + in-kernel media sampling) — the fused
@@ -188,7 +272,8 @@ def stage_fused_features() -> int:
     )
     on_tpu = jax.default_backend() == "tpu"
     if not fused_step.fused_supported(scene, cfg, True, env):
-        return _fail("fused-features: fog showcase not fused_supported")
+        raise RuntimeError("fused-features: fog showcase not "
+                           "fused_supported")
     _hb(f"fused-features: compiling+running 64x36@2spp fog+AOV+spec "
         f"(fused {'compiled' if on_tpu else 'interpret'})")
     acc = jax.jit(
@@ -196,19 +281,30 @@ def stage_fused_features() -> int:
             s, c, e, k, cfg, interpret=not on_tpu)
     )(scene, cam, env, jax.random.PRNGKey(0))
     aux = min(cfg.aux_samples, cfg.samples_per_pixel)
+    out = []
     for name, div in (("beauty", cfg.samples_per_pixel), ("albedo", aux),
                       ("reflection", cfg.samples_per_pixel)):
         img = np.asarray(getattr(acc, name), np.float32) / div
         img = img.reshape(36, 64, 3)
         _hb(f"fused-features: {name} mean={img.mean():.4f}")
-        err = _check_image(img, f"smoke_features_{name}_64x36",
-                           f"fused-features:{name}", max_frac=0.04)
+        out.append((f"smoke_features_{name}_64x36",
+                    f"fused-features:{name}", 0.04, img))
+    return out
+
+
+def stage_fused_features() -> int:
+    try:
+        images = render_fused_features()
+    except RuntimeError as e:
+        return _fail(str(e))
+    for name, label, max_frac, img in images:
+        err = _check_image(img, name, label, max_frac=max_frac)
         if err:
             return _fail(err)
     return 0
 
 
-def stage_pool_render() -> int:
+def render_pool():
     """128x72 @ 4 spp showcase through the UNFUSED pooled wavefront."""
     from ..models import environment as env_mod
     from ..ops import integrator
@@ -229,12 +325,39 @@ def stage_pool_render() -> int:
     finally:
         del os.environ["RAYTRACER_TPU_NO_FUSED"]
     _hb(f"pool-render: done, mean={beauty.mean():.4f}")
-    err = _check_image(beauty, "smoke_pool_128x72", "pool-render")
-    return _fail(err) if err else 0
+    return [("smoke_pool_128x72", "pool-render", 0.01, beauty)]
+
+
+def stage_pool_render() -> int:
+    for name, label, max_frac, img in render_pool():
+        err = _check_image(img, name, label, max_frac=max_frac)
+        if err:
+            return _fail(err)
+    return 0
 
 
 def stage_hit_agree() -> int:
-    """Compiled Pallas vs MXU-matmul closest-hit agreement, real rays."""
+    """Compiled Pallas kernel vs the EXACT brute oracle on real rays.
+
+    The oracle is intersect_brute — pure f32 VPU arithmetic with no MXU
+    involvement, so it is deterministic and context-independent. (The
+    XLA mm scan is NOT usable as a device reference: XLA fuses its
+    split-digit dots plus the partial add into one MXU accumulation
+    chain inside scan contexts, reintroducing exactly the
+    mixed-magnitude accumulation noise the SPLITK two-pass split avoids
+    — measured 170/512 winner flips vs the kernel, all from the mm
+    side's ~1e-4-level noise under grazing-ray amplification.)
+
+    Budgets, calibrated on the showcase camera (Pallas SPLITK vs brute:
+    0/512 hit flips, 9/512 winner flips; same-winner relative t error
+    p50 3e-6 / p99 5e-3 / max 1.7e-2 — the tail is rotated-box slab
+    divisions at near-edge-on faces, where an ulp of MXU-vs-VPU
+    difference amplifies through 1/d_local; the ground-sphere c
+    coefficient has the same property): hit flips <= 1%, winner flips
+    <= 2.5%, same-winner t: <= 3% of rays over 5e-3 relative and none
+    over 5e-2. A real kernel bug (wrong table layout, dropped digit
+    block) puts 30-100% of rays off by O(1).
+    """
     from ..core import rng as rng_mod
     from ..models import camera as cam_mod
     from ..ops import intersect
@@ -246,42 +369,51 @@ def stage_hit_agree() -> int:
     o, d = cam_mod.generate_rays(cam, lanes, px, width=128)
     tmin = jnp.float32(1e-3)
 
-    _hb("hit-agree: 512 rays, pallas/mm closest-hit")
+    _hb("hit-agree: 512 rays, pallas kernel vs exact brute oracle")
     if jax.default_backend() == "tpu":
         from ..ops import pallas_intersect
         hit_p = jax.jit(
             lambda o, d: pallas_intersect.intersect_brute_pallas(
                 scene, o, d, tmin))(o, d)
     else:
-        # No device: still assert mm vs classic brute agreement so the
-        # gate does *something* useful on CPU.
+        # No device: assert mm vs classic brute agreement so the gate
+        # does *something* useful on CPU.
         hit_p = jax.jit(
-            lambda o, d: intersect.intersect_brute(scene, o, d, tmin))(o, d)
-    hit_mm = jax.jit(
-        lambda o, d: intersect.intersect_brute_mm(scene, o, d, tmin))(o, d)
+            lambda o, d: intersect.intersect_brute_mm(scene, o, d,
+                                                      tmin))(o, d)
+    hit_o = jax.jit(
+        lambda o, d: intersect.intersect_brute(scene, o, d, tmin))(o, d)
 
-    hp, hm = np.asarray(hit_p.hit), np.asarray(hit_mm.hit)
-    if not (hp == hm).all():
-        bad = np.nonzero(hp != hm)[0][:8]
-        return _fail(f"hit-agree: hit-set mismatch at rays {bad.tolist()} "
-                     f"(pallas={hp[bad].tolist()} mm={hm[bad].tolist()})")
-    both = hp & hm
-    tp, tm = np.asarray(hit_p.t)[both], np.asarray(hit_mm.t)[both]
-    if not np.allclose(tp, tm, rtol=2e-4, atol=2e-4):
-        worst = int(np.argmax(np.abs(tp - tm)))
-        return _fail(f"hit-agree: t mismatch max|dt|={np.abs(tp - tm).max():.3e} "
-                     f"(pallas={tp[worst]:.6f} mm={tm[worst]:.6f})")
+    hp, ho = np.asarray(hit_p.hit), np.asarray(hit_o.hit)
+    n_hit_flip = int((hp != ho).sum())
+    if n_hit_flip > max(2, n // 100):
+        bad = np.nonzero(hp != ho)[0][:8]
+        return _fail(f"hit-agree: {n_hit_flip}/{n} hit-set mismatches, "
+                     f"rays {bad.tolist()} (kernel={hp[bad].tolist()} "
+                     f"oracle={ho[bad].tolist()})")
+    both = hp & ho
+    tp, to = np.asarray(hit_p.t)[both], np.asarray(hit_o.t)[both]
     idp = np.asarray(hit_p.prim_idx)[both]
-    idm = np.asarray(hit_mm.prim_idx)[both]
+    ido = np.asarray(hit_o.prim_idx)[both]
     typ = np.asarray(hit_p.prim_type)[both]
-    tym = np.asarray(hit_mm.prim_type)[both]
-    # Near-coincident surfaces may legitimately pick either prim when the
-    # two t values tie at f32; only flag id mismatches whose t gap is real.
-    id_bad = ((idp != idm) | (typ != tym)) & ~np.isclose(tp, tm, rtol=1e-5)
-    if id_bad.any():
-        bad = np.nonzero(id_bad)[0][:8]
-        return _fail(f"hit-agree: prim-id mismatch at hit rays {bad.tolist()}")
-    _hb(f"hit-agree: ok, hits={int(both.sum())}/{n}")
+    tyo = np.asarray(hit_o.prim_type)[both]
+    same_winner = (idp == ido) & (typ == tyo)
+    n_winner = int((~same_winner).sum())
+    if n_winner > max(2, n // 40):
+        return _fail(f"hit-agree: {n_winner}/{n} winner flips exceed the "
+                     f"knife-edge budget {max(2, n // 40)}")
+    tp_s, to_s = tp[same_winner], to[same_winner]
+    rel = np.abs(tp_s - to_s) / np.maximum(np.abs(to_s), 1e-3)
+    frac_t = float((rel > 5e-3).mean())
+    if frac_t > 0.03 or (rel.size and rel.max() > 5e-2):
+        worst = int(np.argmax(rel))
+        return _fail(f"hit-agree: same-winner t drift out of budget "
+                     f"(frac>5e-3 = {frac_t:.2%}, max rel = "
+                     f"{rel.max():.3g}; worst kernel={tp_s[worst]:.6f} "
+                     f"oracle={to_s[worst]:.6f})")
+    _hb(f"hit-agree: ok, hits={int(both.sum())}/{n}, hit flips "
+        f"{n_hit_flip}, winner flips {n_winner}, frac(rel>5e-3) "
+        f"{frac_t:.4f}")
     return 0
 
 
@@ -304,10 +436,12 @@ def stage_bvh_traverse() -> int:
     o2, d2 = cam_mod.generate_rays(cam2, lanes, px, width=128)
     tmin = jnp.float32(1e-3)
     _hb("bvh-traverse: compiling+running traversal vs oracle")
+    # Oracle = classic brute (exact VPU): the mm scan's MXU passes are
+    # context-dependently fused by XLA on TPU (see stage_hit_agree).
     hit_b = jax.jit(
         lambda o, d: traverse.intersect_bvh(big, o, d, tmin))(o2, d2)
     hit_o = jax.jit(
-        lambda o, d: intersect.intersect_brute_mm(big, o, d, tmin))(o2, d2)
+        lambda o, d: intersect.intersect_brute(big, o, d, tmin))(o2, d2)
     hb, ho = np.asarray(hit_b.hit), np.asarray(hit_o.hit)
     if not (hb == ho).all():
         bad = np.nonzero(hb != ho)[0][:8]

@@ -48,35 +48,32 @@ s2 = jax.block_until_ready(step(s1))
 timeit("full body step", step, s2)
 
 tables = fused_step.build_tables(scene, env, cfg.env_mode)
-feats_fn = jax.jit(lambda o, d: intersect.ray_features_soa(o, d))
-feats = timeit("ray_features_soa", feats_fn, s2.o, s2.d)
+env_hw = None
 
 from raytracer_project_tpu.ops import pallas_intersect
-a1_fn = jax.jit(lambda f: pallas_intersect.intersect_brute_pallas_feats(
-    scene, f, 1e-3))
-timeit("A1 intersect", a1_fn, feats)
+a1_fn = jax.jit(lambda o, d: pallas_intersect.intersect_brute_pallas_od(
+    scene, o, d, 1e-3))
+timeit("A1 intersect (od)", a1_fn, s2.o, s2.d)
 
 aparams = jnp.zeros((1, 8), jnp.float32)
-a12_fn = jax.jit(lambda f: fused_step.trace_decode(
-    scene, tables, f, aparams, None))
-rec = timeit("A1+A2 trace_decode", a12_fn, feats)
+a12_fn = jax.jit(lambda o, d: fused_step.trace_decode(
+    scene, tables, o, d, aparams, env_hw))
+rec = timeit("A1+A2 trace_decode", a12_fn, s2.o, s2.d)
 
 trow = jnp.clip(rec[fused_step._RO_TEXROW], 0.0, None).astype(jnp.int32)
 brow = jnp.clip(rec[fused_step._RO_BUMPROW], 0.0, None).astype(jnp.int32)
-off = tables.offsets
 
 
 def seam(trow, brow):
-    parts = [trow + off[0], trow + off[1], trow + off[2],
-             brow + off[3], brow + off[4]]
-    allidx = jnp.concatenate(parts)
-    return tables.combined[allidx]
+    tex4 = tables.atlas_rows[trow]
+    gb2 = tables.grad_rows[brow]
+    return tex4, gb2
 
 
-allvals = timeit("seam gather", jax.jit(seam), trow, brow)
+tex4, gb2 = timeit("seam row gathers", jax.jit(seam), trow, brow)
 
-tex3 = tuple(allvals[k * p:(k + 1) * p] for k in range(3))
-bump2 = tuple(allvals[(3 + k) * p:(4 + k) * p] for k in range(2))
+tex3 = (tex4[:, 0], tex4[:, 1], tex4[:, 2])
+bump2 = (gb2[:, 0], gb2[:, 1])
 zc = jnp.zeros((p,), jnp.float32)
 env3 = (zc, zc, zc)
 iscal = jnp.zeros((1, 4), jnp.int32)
@@ -93,8 +90,7 @@ b_fn = jax.jit(lambda rec, t3, b2, e3, sc: fused_step.shade_advance(
     z_max=cfg.z_depth_max_dist, aovs=(), want_spec=False))
 out = timeit("B shade_advance", b_fn, rec, tex3, bump2, env3, state_cols)
 
-tgt = out[19]
-cr, cg, cb = out[16], out[17], out[18]
+cr, cg, cb, tgt = out[16], out[17], out[18], out[19]
 stride = cfg.n_pixels + 1
 
 

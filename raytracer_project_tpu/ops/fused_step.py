@@ -1217,11 +1217,15 @@ def make_pool_fused(scene, cam, env, key, config, sample_offset=0,
     want_spec = config.use_reflection or config.use_refraction
     n_beauty = n * spp
     total_work = n_beauty * (2 if want_spec else 1)
-    # 262k lanes: past this, per-step cost grows ~linearly (+5% raw
-    # lane-steps/s at 512k) but dead-lane waste in the tail drains grows
-    # faster — 512k measured NET WORSE on the 800x450@32spp bench
-    # (6.15M vs 6.88M rays/s; live-lane fraction 87% -> 77%).
-    p = pool_lanes or min(total_work, 262_144)
+    # 131k lanes (round-5 sweep on the 800x450@32spp bench): per-step
+    # lane throughput saturates at ~13.1M lane-steps/s from 131k lanes
+    # up, so the smallest saturating pool wins via live-lane fraction
+    # (93.8% at 131k vs 88% at 262k): 12.28M measured rays/s vs 11.6M
+    # (262k) / 11.2M (65k, fixed per-step overhead dominates below
+    # saturation). RAYTRACER_TPU_POOL_LANES overrides for sweeps.
+    import os as _os
+    default_pool = int(_os.environ.get("RAYTRACER_TPU_POOL_LANES", 131_072))
+    p = pool_lanes or min(total_work, default_pool)
     p = max(B_BLOCK, -(-p // B_BLOCK) * B_BLOCK)
     seed = rng.seed_from_key(key)
     sample_offset = jnp.asarray(sample_offset, jnp.int32)
@@ -1376,6 +1380,13 @@ def make_pool_fused(scene, cam, env, key, config, sample_offset=0,
         # channel (radiance + AOVs) — per-op staging dominates scatter
         # cost on this backend (~2.15 ms per scatter in loop context),
         # so 3-12 scatters collapse into one wide one.
+        # Measured dead ends (round 5, in-loop bench ms/step at 123
+        # steps): ROW scatter ([n+1, 3] acc, one [P] index vector adding
+        # [P, 3] rows) runs 24.1 vs this layout's 19.8 — even with
+        # constant values, so the 2-D scatter lowering itself is the
+        # cost, not the [P, 3] stack. Channel-interleaved flat indices
+        # (3*tgt+c) match 19.8 exactly: the cost is per-index staging,
+        # not HBM locality.
         stride = n + 1
         idx_parts = [tgt, tgt + stride, tgt + 2 * stride]
         val_parts = [cr, cg, cb]

@@ -94,8 +94,10 @@ def _isect_dot(featsk, block, interpret: bool = False):
     return jnp.dot(featsk, block, preferred_element_type=jnp.float32,
                    precision=getattr(jax.lax.Precision, _ISECT_PREC))
 
-# Rays per grid program.
-BLOCK_RAYS = 512
+# Rays per grid program (env override for tuning sweeps).
+import os as _os
+
+BLOCK_RAYS = int(_os.environ.get("RAYTRACER_TPU_BLOCK_RAYS", 512))
 # Primitive columns per inner-loop chunk. Bigger chunks amortize the
 # per-invocation cost of the in-kernel dot (~3 us each, far above its FLOP
 # time at K=16) against a coarser cull; 512 measured best on v5e

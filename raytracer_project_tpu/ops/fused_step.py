@@ -1379,14 +1379,22 @@ def make_pool_fused(scene, cam, env, key, config, sample_offset=0,
         # XLA seam: ONE combined scatter-add for every accumulator
         # channel (radiance + AOVs) — per-op staging dominates scatter
         # cost on this backend (~2.15 ms per scatter in loop context),
-        # so 3-12 scatters collapse into one wide one.
-        # Measured dead ends (round 5, in-loop bench ms/step at 123
-        # steps): ROW scatter ([n+1, 3] acc, one [P] index vector adding
-        # [P, 3] rows) runs 24.1 vs this layout's 19.8 — even with
-        # constant values, so the 2-D scatter lowering itself is the
-        # cost, not the [P, 3] stack. Channel-interleaved flat indices
-        # (3*tgt+c) match 19.8 exactly: the cost is per-index staging,
-        # not HBM locality.
+        # so 3-12 scatters collapse into one wide one. Duplicate pixel
+        # targets make XLA lower this via its sort-based path, but the
+        # small pixel-space accumulator stays VMEM-resident, which wins.
+        # Measured dead ends (round-5 in-loop bench, 800x450@32spp):
+        # - 2-D ROW scatters: 18-24 ms/step vs 10.0, in pixel OR work-id
+        #   space, unique indices or not, even with constant values —
+        #   the 2-D scatter lowering itself is the cost.
+        # - Channel-interleaved flat indices (3*tgt+c): no change; the
+        #   cost is per-index staging, not HBM locality.
+        # - WORK-ID-space flat scatter (indices unique by construction,
+        #   unique_indices=True drops the sort; per-pixel sums via one
+        #   dense end reduce): scatter-apply profiled 6.3 -> 3.7 ms, but
+        #   the (spp*n)-row accumulator no longer fits VMEM and the net
+        #   step got SLOWER (10.9 vs 10.0 ms; spp-chunking it back under
+        #   the VMEM budget loses more to fill/drain tails: 10.0-10.7
+        #   ms/step at 2-8 spp chunks with 9-45% more steps).
         stride = n + 1
         idx_parts = [tgt, tgt + stride, tgt + 2 * stride]
         val_parts = [cr, cg, cb]
